@@ -1,0 +1,171 @@
+"""Host-side graph construction and preprocessing.
+
+Replaces the reference's DGL/PyG graph transforms — ``to_bidirected`` /
+``add_self_loop`` / ``create_formats_`` (``arxiv_dgl/gat.py:56-71``) and
+``ToSparseTensor`` / ``to_symmetric`` (``arxiv_pyg/gnn.py:236-249``) — with
+NumPy preprocessing that emits static-shape, receiver-sorted padded COO plus
+CSR/CSC offsets ready for device upload (see graphs/container.py).
+
+All functions here run once per dataset on the host; nothing is traced.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from efficient_gnns_tpu.graphs.container import Graph
+
+
+def pad_length(n: int, multiple: int = 128) -> int:
+    """Round ``n`` up to a multiple (TPU lane-friendly padding)."""
+    if n == 0:
+        return multiple
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def to_bidirected(
+    senders: np.ndarray, receivers: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Add reverse edges and deduplicate (DGL ``to_bidirected`` semantics)."""
+    s = np.concatenate([senders, receivers])
+    r = np.concatenate([receivers, senders])
+    edges = np.unique(np.stack([s, r], axis=1), axis=0)
+    return edges[:, 0], edges[:, 1]
+
+
+def add_self_loops(
+    senders: np.ndarray, receivers: np.ndarray, num_nodes: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Remove existing self loops, then add one per node."""
+    keep = senders != receivers
+    loop = np.arange(num_nodes, dtype=senders.dtype)
+    return (
+        np.concatenate([senders[keep], loop]),
+        np.concatenate([receivers[keep], loop]),
+    )
+
+
+def _csr_offsets(sorted_rows: np.ndarray, num_rows: int) -> np.ndarray:
+    """CSR offsets over an ascending row-id array (padding ids >= num_rows)."""
+    counts = np.bincount(
+        sorted_rows[sorted_rows < num_rows], minlength=num_rows
+    ).astype(np.int32)
+    offsets = np.zeros(num_rows + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return offsets
+
+
+def build_graph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    edge_weight: Optional[np.ndarray] = None,
+    edge_type: Optional[np.ndarray] = None,
+    num_edge_types: int = 0,
+    bidirected: bool = False,
+    self_loops: bool = False,
+    pad_nodes_to: Optional[int] = None,
+    pad_edges_to: Optional[int] = None,
+    edge_pad_multiple: int = 1024,
+    n_node_valid: Optional[int] = None,
+) -> Graph:
+    """Build a device-ready :class:`Graph` from a raw COO edge list.
+
+    Sorts edges by receiver (ties by sender), materializes the transpose
+    (sender-sorted) order and both CSR offset arrays, and pads the edge list
+    to a static shape with out-of-range sentinels.
+
+    Args:
+      pad_nodes_to: static node-dimension size (defaults to ``num_nodes``).
+      pad_edges_to: static edge count; defaults to the edge count rounded up
+        to ``edge_pad_multiple``.
+      n_node_valid: number of valid nodes (defaults to ``num_nodes``) — use
+        when the node set itself is padded.
+    """
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    if bidirected:
+        if edge_weight is not None or edge_type is not None:
+            raise ValueError("bidirected=True incompatible with edge payloads")
+        senders, receivers = to_bidirected(senders, receivers)
+    if self_loops:
+        if edge_weight is not None or edge_type is not None:
+            raise ValueError("self_loops=True incompatible with edge payloads")
+        senders, receivers = add_self_loops(senders, receivers, num_nodes)
+
+    n_pad = int(pad_nodes_to) if pad_nodes_to is not None else int(num_nodes)
+    if n_pad < num_nodes:
+        raise ValueError(f"pad_nodes_to={n_pad} < num_nodes={num_nodes}")
+    e = senders.shape[0]
+    e_pad = (
+        int(pad_edges_to) if pad_edges_to is not None else pad_length(e, edge_pad_multiple)
+    )
+    if e_pad < e:
+        raise ValueError(f"pad_edges_to={e_pad} < num_edges={e}")
+
+    # Receiver-sorted (CSR) order; stable lexsort keeps sender ties ordered.
+    csr_order = np.lexsort((senders, receivers))
+    s_csr = senders[csr_order]
+    r_csr = receivers[csr_order]
+
+    # Sender-sorted (CSC / transpose) order, expressed as a permutation of
+    # the CSR-ordered edges: t_receivers = s_csr[csc_perm].
+    csc_perm = np.lexsort((r_csr, s_csr))
+    t_s = r_csr[csc_perm]  # transpose senders = original receivers
+    t_r = s_csr[csc_perm]  # transpose receivers = original senders
+
+    def _pad_idx(a: np.ndarray) -> np.ndarray:
+        out = np.full(e_pad, n_pad, dtype=np.int32)
+        out[:e] = a
+        return out
+
+    pad_perm = np.arange(e_pad, dtype=np.int32)
+    pad_perm[:e] = csc_perm
+
+    ew = None
+    if edge_weight is not None:
+        ew = np.zeros(e_pad, dtype=np.float32)
+        ew[:e] = np.asarray(edge_weight, dtype=np.float32)[csr_order]
+    et = None
+    if edge_type is not None:
+        et = np.full(e_pad, num_edge_types, dtype=np.int32)
+        et[:e] = np.asarray(edge_type, dtype=np.int32)[csr_order]
+
+    return Graph(
+        senders=jnp.asarray(_pad_idx(s_csr)),
+        receivers=jnp.asarray(_pad_idx(r_csr)),
+        t_senders=jnp.asarray(_pad_idx(t_s)),
+        t_receivers=jnp.asarray(_pad_idx(t_r)),
+        csc_perm=jnp.asarray(pad_perm),
+        row_offsets=jnp.asarray(_csr_offsets(r_csr, n_pad)),
+        t_row_offsets=jnp.asarray(_csr_offsets(t_r, n_pad)),
+        n_node=jnp.asarray(
+            num_nodes if n_node_valid is None else n_node_valid, dtype=jnp.int32
+        ),
+        n_edge=jnp.asarray(e, dtype=jnp.int32),
+        edge_weight=ew if ew is None else jnp.asarray(ew),
+        edge_type=et if et is None else jnp.asarray(et),
+        num_nodes=n_pad,
+        num_edge_types=int(num_edge_types),
+    )
+
+
+def gcn_norm_weights(graph: Graph) -> Graph:
+    """Attach symmetric GCN normalization weights ``d_r^-1/2 * d_s^-1/2``.
+
+    Equivalent to PyG's ``GCNConv(cached=True)`` normalization
+    (reference ``arxiv_pyg/gnn.py:28-35``) precomputed once — the cached
+    normalized adjacency is then a static argument of the jitted step.
+    Assumes self loops are already present if desired.
+    """
+    deg = graph.in_degrees()
+    inv_sqrt = jnp.where(deg > 0, 1.0 / jnp.sqrt(jnp.maximum(deg, 1.0)), 0.0)
+    s = jnp.minimum(graph.senders, graph.num_nodes - 1)
+    r = jnp.minimum(graph.receivers, graph.num_nodes - 1)
+    w = inv_sqrt[s] * inv_sqrt[r]
+    w = jnp.where(graph.edge_mask, w, 0.0)
+    return graph.replace(edge_weight=w)

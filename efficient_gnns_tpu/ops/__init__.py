@@ -1,0 +1,25 @@
+from efficient_gnns_tpu.ops.segment import (
+    gather,
+    segment_max,
+    segment_mean,
+    segment_min,
+    segment_softmax,
+    segment_sum,
+)
+from efficient_gnns_tpu.ops.spmm import spmm, spmm_mean
+from efficient_gnns_tpu.ops.sddmm import sddmm_add, sddmm_dot
+from efficient_gnns_tpu.ops.edge_softmax import edge_softmax
+
+__all__ = [
+    "gather",
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "segment_min",
+    "segment_softmax",
+    "spmm",
+    "spmm_mean",
+    "sddmm_add",
+    "sddmm_dot",
+    "edge_softmax",
+]

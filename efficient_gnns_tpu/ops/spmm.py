@@ -1,0 +1,129 @@
+"""Sparse matrix x dense matrix products over :class:`Graph` adjacency.
+
+Replaces the reference's native SpMM floor — DGL ``update_all(u_mul_e, sum)``
+(``arxiv_dgl/models.py:217``), torch-sparse ``SparseTensor.matmul``
+(``mag_pyg/gnn.py:149-163``) and the scatter engine inside PyG convs — with a
+gather + *sorted* segment-sum formulation that XLA compiles to deterministic
+TPU code.
+
+Why a custom VJP: differentiating gather-then-scatter naively yields an
+*unsorted* scatter-add into the node dimension. The gradient of an SpMM is an
+SpMM over the transposed graph, and :class:`Graph` stores the sender-sorted
+(CSC) edge order precisely so the backward pass is also a sorted segment sum
+(the DGL ``create_formats_`` trick, reference ``arxiv_dgl/gat.py:69``).
+
+Both forward and backward accumulate in float32 regardless of input dtype
+(bfloat16 features are fine; long reductions are not done in bf16).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from efficient_gnns_tpu.graphs.container import Graph
+from efficient_gnns_tpu.ops.segment import float0_like, gather, segment_sum
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _spmm(
+    x,
+    w,
+    senders,
+    receivers,
+    t_senders,
+    t_receivers,
+    csc_perm,
+    row_offsets,
+    num_nodes: int,
+):
+    out_dtype = x.dtype
+    msgs = gather(x, senders).astype(jnp.float32) * w[:, None].astype(jnp.float32)
+    out = segment_sum(msgs, receivers, num_nodes, indices_are_sorted=True)
+    return out.astype(out_dtype)
+
+
+def _spmm_fwd(x, w, senders, receivers, t_senders, t_receivers, csc_perm, row_offsets, num_nodes):
+    out = _spmm(x, w, senders, receivers, t_senders, t_receivers, csc_perm, row_offsets, num_nodes)
+    return out, (x, w, senders, receivers, t_senders, t_receivers, csc_perm, row_offsets)
+
+
+def _spmm_bwd(num_nodes, res, g):
+    x, w, senders, receivers, t_senders, t_receivers, csc_perm, row_offsets = res
+    gf = g.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+
+    # dX = A^T @ (G * w): per-edge message g[receiver]*w, re-sorted into the
+    # sender-sorted (transpose) order so the scatter is again sorted.
+    msgs = gather(gf, receivers) * wf[:, None]
+    dx = segment_sum(
+        msgs[csc_perm], t_receivers, num_nodes, indices_are_sorted=True
+    ).astype(x.dtype)
+
+    # dW = SDDMM row-dot <g[receiver], x[sender]> (GAT attention gradients).
+    valid = receivers < num_nodes
+    dw = jnp.sum(gather(gf, receivers) * gather(x, senders).astype(jnp.float32), axis=-1)
+    dw = jnp.where(valid, dw, 0.0).astype(w.dtype)
+
+    return (
+        dx,
+        dw,
+        float0_like(senders),
+        float0_like(receivers),
+        float0_like(t_senders),
+        float0_like(t_receivers),
+        float0_like(csc_perm),
+        float0_like(row_offsets),
+    )
+
+
+_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm(
+    graph: Graph,
+    x: jnp.ndarray,
+    edge_weight: Optional[jnp.ndarray] = None,
+    transpose: bool = False,
+) -> jnp.ndarray:
+    """``out[r] = sum_{e:(s->r)} w_e * x[s]`` — message passing aggregation.
+
+    Args:
+      graph: the adjacency (receiver-sorted padded COO, see container docs).
+      x: float[num_nodes, F] node features.
+      edge_weight: optional per-edge scalars in *receiver-sorted* order;
+        overrides ``graph.edge_weight``. Differentiable (used for GAT
+        attention coefficients).
+      transpose: aggregate over the reversed edges instead.
+    """
+    if transpose:
+        graph = graph.transpose()
+    w = edge_weight if edge_weight is not None else graph.edge_weight
+    if w is None:
+        w = graph.edge_mask.astype(x.dtype)
+    return _spmm(
+        x,
+        w,
+        graph.senders,
+        graph.receivers,
+        graph.t_senders,
+        graph.t_receivers,
+        graph.csc_perm,
+        graph.row_offsets,
+        graph.num_nodes,
+    )
+
+
+def spmm_mean(
+    graph: Graph,
+    x: jnp.ndarray,
+    edge_weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Mean-aggregated SpMM (torch-sparse ``matmul(..., reduce='mean')``,
+    reference ``mag_pyg/gnn.py:149-163``; SAGE neighbor mean)."""
+    total = spmm(graph, x, edge_weight)
+    deg = graph.in_degrees().astype(total.dtype)
+    return total / jnp.maximum(deg, 1.0)[:, None]
