@@ -1,0 +1,185 @@
+"""ogbn-arxiv student training CLI.
+
+Flag-compatible re-design of the reference entry point
+(``arxiv_pyg/gnn.py:386-423`` argparse block + ``gnn_kd_and_aux.py``):
+
+    python -m efficient_gnns_tpu.cli.arxiv --gnn gcn --training kd \\
+        --alpha 0.9 --kd_T 4 --runs 10 --epochs 500
+
+Differences from the reference:
+* ``--kd_and_aux`` replaces the separate ``gnn_kd_and_aux.py`` script;
+* ``--dataset synthetic`` (default here, no network egress) trains on an
+  arxiv-shaped synthetic graph; ``--dataset ogbn-arxiv`` uses OGB when the
+  package + cached download exist;
+* teacher dumps are ``.npz`` files (see distill/artifacts.py) instead of
+  ``torch.load``-able tensors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ogbn-arxiv distillation (TPU)")
+    # experiment (reference arxiv_pyg/gnn.py:387-400)
+    p.add_argument("--expt_name", type=str, default="debug")
+    p.add_argument("--dataset", type=str, default="synthetic")
+    p.add_argument("--gnn", type=str, default="gcn", choices=["gcn", "sage"])
+    p.add_argument(
+        "--training",
+        type=str,
+        default="supervised",
+        choices=["supervised", "kd", "fitnet", "at", "gpw", "lpw", "nce", "gcd"],
+    )
+    p.add_argument("--kd_and_aux", action="store_true")
+    p.add_argument("--device", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--log_steps", type=int, default=50)
+    # GNN (reference :401-406)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--hidden_channels", type=int, default=256)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=0.01)
+    # KD (reference :407-414)
+    p.add_argument("--alpha", type=float, default=0.9)
+    p.add_argument("--kd_T", type=float, default=4.0)
+    p.add_argument("--beta", type=float, default=1000.0)
+    p.add_argument("--kernel", type=str, default="cosine",
+                   choices=["cosine", "poly", "l2", "rbf"])
+    p.add_argument("--max_samples", type=int, default=8192)
+    p.add_argument("--proj_dim", type=int, default=256)
+    p.add_argument("--nce_T", type=float, default=0.075)
+    # teacher artifacts
+    p.add_argument("--teacher_dir", type=str, default=None,
+                   help="directory of per-seed teacher .npz dumps")
+    # synthetic dataset sizing (ignored for real data)
+    p.add_argument("--num_nodes", type=int, default=20000)
+    p.add_argument("--num_edges", type=int, default=120000)
+    p.add_argument("--out_dir", type=str, default="logs")
+    return p
+
+
+def load_dataset(args):
+    if args.dataset == "synthetic":
+        from efficient_gnns_tpu.data import synthetic_node_dataset
+
+        return synthetic_node_dataset(
+            num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42
+        )
+    from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
+
+    return load_ogbn_arxiv()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_gnns_tpu.distill.artifacts import load_teacher_dump
+    from efficient_gnns_tpu.graphs.preprocess import induced_subgraph
+    from efficient_gnns_tpu.models import GCN, SAGE
+    from efficient_gnns_tpu.train import DistillConfig, Logger, NodeDistillTrainer
+
+    ds = load_dataset(args)
+    print(
+        f"dataset={args.dataset} nodes={ds.num_nodes} "
+        f"edges={int(ds.graph.n_edge)} classes={ds.num_classes} "
+        f"device={jax.devices()[0]}"
+    )
+
+    cfg = DistillConfig(
+        training=args.training,
+        kd_and_aux=args.kd_and_aux,
+        runs=args.runs,
+        epochs=args.epochs,
+        num_layers=args.num_layers,
+        hidden=args.hidden_channels,
+        dropout=args.dropout,
+        lr=args.lr,
+        alpha=args.alpha,
+        kd_T=args.kd_T,
+        beta=args.beta,
+        kernel=args.kernel,
+        max_samples=args.max_samples,
+        proj_dim=args.proj_dim,
+        nce_T=args.nce_T,
+    )
+
+    lsp_graph = None
+    if args.training == "lpw":
+        lsp_graph = induced_subgraph(
+            ds.senders, ds.receivers, ds.split_idx["train"]
+        )
+
+    logger = Logger(args.runs)
+    results = []
+    for run in range(args.runs):
+        seed = args.seed + run
+        teacher_feat = teacher_logits = None
+        if cfg.needs_teacher():
+            if args.teacher_dir:
+                teacher_feat, teacher_logits = load_teacher_dump(
+                    args.teacher_dir, seed
+                )
+                teacher_feat = jnp.asarray(teacher_feat)
+                teacher_logits = jnp.asarray(teacher_logits)
+            else:
+                # oracle-teacher fallback for synthetic smoke runs
+                rng = np.random.default_rng(7)
+                protos = rng.normal(size=(ds.num_classes, 64)).astype(np.float32)
+                teacher_feat = jnp.asarray(
+                    protos[ds.y] + 0.2 * rng.normal(size=(len(ds.y), 64)).astype(np.float32)
+                )
+                tl = np.full((len(ds.y), ds.num_classes), -2.0, np.float32)
+                tl[np.arange(len(ds.y)), ds.y] = 4.0
+                teacher_logits = jnp.asarray(tl)
+
+        model_cls = GCN if args.gnn == "gcn" else SAGE
+        model = model_cls(
+            hidden=cfg.hidden, out_feats=ds.num_classes,
+            num_layers=cfg.num_layers, dropout=cfg.dropout,
+        )
+        trainer = NodeDistillTrainer(
+            model, cfg, ds.graph, ds.x, ds.y, ds.split_idx,
+            teacher_feat=teacher_feat, teacher_logits=teacher_logits,
+            lsp_graph=lsp_graph, seed=seed,
+        )
+        t0 = time.time()
+        for epoch in range(1, args.epochs + 1):
+            metrics = trainer.train_epoch(epoch)
+            _, accs = trainer.evaluate()
+            logger.add_result(run, accs)
+            if epoch % args.log_steps == 0 or epoch == args.epochs:
+                print(
+                    f"Run {run + 1:02d} Epoch {epoch:04d} "
+                    f"loss {metrics['loss']:.4f} (cls {metrics['loss_cls']:.4f}, "
+                    f"aux {metrics['loss_aux']:.4f}) "
+                    f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}"
+                )
+        logger.print_statistics(run)
+        results.append(
+            {"run": run, "seconds": time.time() - t0, **logger.run_statistics(run)}
+        )
+
+    logger.print_statistics()
+    os.makedirs(args.out_dir, exist_ok=True)
+    out = os.path.join(
+        args.out_dir, f"{args.expt_name}-{args.gnn}-{args.training}.json"
+    )
+    with open(out, "w") as f:
+        json.dump({"args": vars(args), "runs": results,
+                   "statistics": logger.statistics()}, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

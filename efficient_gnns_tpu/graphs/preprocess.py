@@ -154,6 +154,29 @@ def build_graph(
     )
 
 
+def induced_subgraph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    node_ids: np.ndarray,
+    **build_kwargs,
+) -> Graph:
+    """Node-induced subgraph with relabeled, contiguous node ids.
+
+    PyG ``subgraph(train_idx, edge_index, relabel_nodes=True)`` semantics
+    (reference ``arxiv_pyg/gnn.py:246-249`` builds the LSP train subgraph
+    this way). ``node_ids`` order defines the new labels.
+    """
+    node_ids = np.asarray(node_ids)
+    n_total = int(max(senders.max(), receivers.max())) + 1 if len(senders) else 0
+    n_total = max(n_total, int(node_ids.max()) + 1 if len(node_ids) else 0)
+    relabel = np.full(n_total, -1, dtype=np.int64)
+    relabel[node_ids] = np.arange(len(node_ids), dtype=np.int64)
+    s = relabel[senders]
+    r = relabel[receivers]
+    keep = (s >= 0) & (r >= 0)
+    return build_graph(s[keep], r[keep], len(node_ids), **build_kwargs)
+
+
 def gcn_norm_weights(graph: Graph) -> Graph:
     """Attach symmetric GCN normalization weights ``d_r^-1/2 * d_s^-1/2``.
 

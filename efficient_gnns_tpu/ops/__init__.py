@@ -6,7 +6,7 @@ from efficient_gnns_tpu.ops.segment import (
     segment_softmax,
     segment_sum,
 )
-from efficient_gnns_tpu.ops.spmm import spmm, spmm_mean
+from efficient_gnns_tpu.ops.spmm import spmm, spmm_heads, spmm_mean
 from efficient_gnns_tpu.ops.sddmm import sddmm_add, sddmm_dot
 from efficient_gnns_tpu.ops.edge_softmax import edge_softmax
 
@@ -18,6 +18,7 @@ __all__ = [
     "segment_min",
     "segment_softmax",
     "spmm",
+    "spmm_heads",
     "spmm_mean",
     "sddmm_add",
     "sddmm_dot",

@@ -117,6 +117,61 @@ def spmm(
     )
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _spmm_heads(x, w, senders, receivers, t_senders, t_receivers, csc_perm, num_nodes: int):
+    # x: [N, H, D], w: [E, H] -> out [N, H, D]
+    msgs = gather(x, senders).astype(jnp.float32) * w[:, :, None].astype(jnp.float32)
+    out = segment_sum(msgs, receivers, num_nodes, indices_are_sorted=True)
+    return out.astype(x.dtype)
+
+
+def _spmm_heads_fwd(x, w, senders, receivers, t_senders, t_receivers, csc_perm, num_nodes):
+    out = _spmm_heads(x, w, senders, receivers, t_senders, t_receivers, csc_perm, num_nodes)
+    return out, (x, w, senders, receivers, t_senders, t_receivers, csc_perm)
+
+
+def _spmm_heads_bwd(num_nodes, res, g):
+    x, w, senders, receivers, t_senders, t_receivers, csc_perm = res
+    gf = g.astype(jnp.float32)
+    msgs = gather(gf, receivers) * w[:, :, None].astype(jnp.float32)
+    dx = segment_sum(
+        msgs[csc_perm], t_receivers, num_nodes, indices_are_sorted=True
+    ).astype(x.dtype)
+    valid = (receivers < num_nodes)[:, None]
+    dw = jnp.sum(gather(gf, receivers) * gather(x, senders).astype(jnp.float32), axis=-1)
+    dw = jnp.where(valid, dw, 0.0).astype(w.dtype)
+    return (
+        dx,
+        dw,
+        float0_like(senders),
+        float0_like(receivers),
+        float0_like(t_senders),
+        float0_like(t_receivers),
+        float0_like(csc_perm),
+    )
+
+
+_spmm_heads.defvjp(_spmm_heads_fwd, _spmm_heads_bwd)
+
+
+def spmm_heads(graph: Graph, x: jnp.ndarray, edge_weight: jnp.ndarray) -> jnp.ndarray:
+    """Multi-head weighted SpMM: ``out[r,h] = sum_e w[e,h] * x[s_e,h]``.
+
+    One fused gather/scatter for all GAT heads (x: [N,H,D], w: [E,H]) —
+    avoids per-head SpMM calls in multi-head attention layers.
+    """
+    return _spmm_heads(
+        x,
+        edge_weight,
+        graph.senders,
+        graph.receivers,
+        graph.t_senders,
+        graph.t_receivers,
+        graph.csc_perm,
+        graph.num_nodes,
+    )
+
+
 def spmm_mean(
     graph: Graph,
     x: jnp.ndarray,
