@@ -1,0 +1,150 @@
+"""GAT teacher training CLI (reference ``arxiv_dgl/gat.py`` flags).
+
+    python -m efficient_gnns_tpu.cli.gat_teacher --use-labels \\
+        --n-label-iters 1 --no-attn-dst --use-norm --edge-drop 0.3 \\
+        --input-drop 0.25 --save-pred --expt-name gat-3L250x3h
+
+Per-seed artifacts (softmax output, logits, penultimate features,
+checkpoint) are written in the documented ``.npz`` format for the student
+trainers (see distill/artifacts.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("GAT teacher on ogbn-arxiv (TPU)")
+    p.add_argument("--dataset", type=str, default="synthetic")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-runs", type=int, default=10)
+    p.add_argument("--n-epochs", type=int, default=2000)
+    p.add_argument("--use-labels", action="store_true")
+    p.add_argument("--n-label-iters", type=int, default=0)
+    p.add_argument("--mask-rate", type=float, default=0.5)
+    p.add_argument("--no-attn-dst", action="store_true")
+    p.add_argument("--use-norm", action="store_true")
+    p.add_argument("--lr", type=float, default=0.002)
+    p.add_argument("--n-layers", type=int, default=3)
+    p.add_argument("--n-heads", type=int, default=3)
+    p.add_argument("--n-hidden", type=int, default=250)
+    p.add_argument("--dropout", type=float, default=0.75)
+    p.add_argument("--input-drop", type=float, default=0.1)
+    p.add_argument("--attn-drop", type=float, default=0.0)
+    p.add_argument("--edge-drop", type=float, default=0.0)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--save-pred", action="store_true")
+    p.add_argument("--expt-name", type=str, default="debug")
+    p.add_argument("--out-dir", type=str, default=".")
+    # synthetic sizing
+    p.add_argument("--num-nodes", type=int, default=20000)
+    p.add_argument("--num-edges", type=int, default=120000)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if not args.use_labels and args.n_label_iters > 0:
+        raise ValueError("'--use-labels' must be enabled when n_label_iters > 0")
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_gnns_tpu.distill.artifacts import save_teacher_dump
+    from efficient_gnns_tpu.train.checkpoint import save_pytree
+    from efficient_gnns_tpu.train.gat_teacher import GATTeacherTrainer, TeacherConfig
+
+    if args.dataset == "synthetic":
+        from efficient_gnns_tpu.data import synthetic_node_dataset
+
+        ds = synthetic_node_dataset(
+            num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42
+        )
+    else:
+        from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
+
+        ds = load_ogbn_arxiv()
+
+    cfg = TeacherConfig(
+        n_hidden=args.n_hidden,
+        n_layers=args.n_layers,
+        n_heads=args.n_heads,
+        dropout=args.dropout,
+        input_drop=args.input_drop,
+        attn_drop=args.attn_drop,
+        edge_drop=args.edge_drop,
+        use_labels=args.use_labels,
+        n_label_iters=args.n_label_iters,
+        mask_rate=args.mask_rate,
+        no_attn_dst=args.no_attn_dst,
+        use_norm=args.use_norm,
+        lr=args.lr,
+        wd=args.wd,
+        n_epochs=args.n_epochs,
+    )
+
+    val_accs, test_accs = [], []
+    for run in range(args.n_runs):
+        seed = args.seed + run
+        trainer = GATTeacherTrainer(
+            cfg, ds.graph, ds.x, ds.y, ds.split_idx, ds.num_classes, seed=seed
+        )
+        if run == 0:
+            print(f"params: {trainer.num_params()}  device: {jax.devices()[0]}")
+
+        best_val_loss, best_val_acc, final_test_acc = float("inf"), 0.0, 0.0
+        final = None
+        t0 = time.time()
+        for epoch in range(1, args.n_epochs + 1):
+            m = trainer.train_epoch(epoch)
+            logits, feats, accs, losses = trainer.evaluate()
+            # best-validation-LOSS selection (arxiv_dgl/gat.py:224-229)
+            if losses[1] < best_val_loss:
+                best_val_loss = losses[1]
+                best_val_acc, final_test_acc = accs[1], accs[2]
+                final = (np.asarray(logits), np.asarray(feats))
+            if epoch % args.log_every == 0 or epoch == args.n_epochs:
+                print(
+                    f"Run {run}/{args.n_runs} Epoch {epoch}/{args.n_epochs} "
+                    f"avg-epoch {(time.time() - t0) / epoch:.2f}s "
+                    f"loss {m['loss']:.4f} "
+                    f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f} "
+                    f"best-val {best_val_acc:.4f} final-test {final_test_acc:.4f}"
+                )
+        val_accs.append(best_val_acc)
+        test_accs.append(final_test_acc)
+
+        if args.save_pred and final is not None:
+            logits_np, feats_np = final
+            dump_dir = os.path.join(args.out_dir, "teacher_dumps", args.expt_name)
+            softmax_out = np.asarray(jax.nn.softmax(jnp.asarray(logits_np), axis=-1))
+            save_teacher_dump(dump_dir, seed, feats_np, logits_np, softmax_out)
+            ckpt_dir = os.path.join(args.out_dir, "checkpoints", args.expt_name)
+            save_pytree(
+                os.path.join(ckpt_dir, f"{seed}.msgpack"),
+                {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats},
+            )
+            print(f"saved teacher dump + checkpoint for seed {seed}")
+
+    print(f"Average val accuracy: {np.mean(val_accs)} ± {np.std(val_accs)}")
+    print(f"Average test accuracy: {np.mean(test_accs)} ± {np.std(test_accs)}")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(
+        os.path.join(args.out_dir, f"gat_teacher_{args.expt_name}.json"), "w"
+    ) as f:
+        json.dump(
+            {"args": vars(args), "val_accs": val_accs, "test_accs": test_accs}, f
+        )
+
+
+if __name__ == "__main__":
+    main()

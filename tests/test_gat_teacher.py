@@ -1,0 +1,83 @@
+"""GAT teacher trainer tests: label reuse, label iterations, convergence."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from efficient_gnns_tpu.data import synthetic_node_dataset
+from efficient_gnns_tpu.train.gat_teacher import (
+    EPSILON,
+    GATTeacherTrainer,
+    TeacherConfig,
+    log_eps_loss,
+)
+
+
+def test_log_eps_loss_matches_formula(rng):
+    logits = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, size=8).astype(np.int32))
+    mask = jnp.asarray(np.array([True] * 6 + [False] * 2))
+    got = float(log_eps_loss(logits, labels, mask))
+    # manual
+    import torch
+    import torch.nn.functional as F
+
+    ce = F.cross_entropy(
+        torch.tensor(np.asarray(logits))[:6],
+        torch.tensor(np.asarray(labels).astype(np.int64))[:6],
+        reduction="none",
+    )
+    expect = float((torch.log(EPSILON + ce) - math.log(EPSILON)).mean())
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def _small_ds():
+    return synthetic_node_dataset(
+        num_nodes=400, num_edges=1600, feat_dim=12, num_classes=4, seed=3,
+        label_smoothing_hops=1,
+    )
+
+
+def test_teacher_trains_and_improves():
+    ds = _small_ds()
+    cfg = TeacherConfig(
+        n_hidden=8, n_layers=2, n_heads=2, dropout=0.2, input_drop=0.0,
+        edge_drop=0.1, use_labels=True, n_label_iters=1, use_norm=True,
+        no_attn_dst=True, lr=0.01,
+    )
+    tr = GATTeacherTrainer(cfg, ds.graph, ds.x, ds.y, ds.split_idx, ds.num_classes)
+    _, _, accs0, losses0 = tr.evaluate()
+    for e in range(1, 60):
+        m = tr.train_epoch(e)
+    _, feats, accs1, losses1 = tr.evaluate()
+    assert np.isfinite(m["loss"])
+    assert accs1[0] > max(accs0[0], 0.5), (accs0, accs1)
+    assert losses1[1] < losses0[1]
+    # penultimate features have heads*hidden width
+    assert feats.shape == (ds.graph.num_nodes, 2 * 8)
+
+
+def test_teacher_no_labels_mode():
+    ds = _small_ds()
+    cfg = TeacherConfig(
+        n_hidden=8, n_layers=2, n_heads=2, dropout=0.0, use_labels=False,
+        n_label_iters=0, use_norm=False, no_attn_dst=False, lr=0.01,
+    )
+    tr = GATTeacherTrainer(cfg, ds.graph, ds.x, ds.y, ds.split_idx, ds.num_classes)
+    m0 = tr.train_epoch(1)
+    for e in range(2, 30):
+        m = tr.train_epoch(e)
+    assert m["loss"] < m0["loss"]
+
+
+def test_teacher_param_count_matches_reference_config():
+    # 3L x 250 x 3h teacher on arxiv dims: 128 feats + 40 label channels,
+    # 40 classes -> published 1,441,580 params (arxiv_dgl/gat.py:382,389)
+    ds = synthetic_node_dataset(
+        num_nodes=256, num_edges=512, feat_dim=128, num_classes=40, seed=0,
+        label_smoothing_hops=0,
+    )
+    cfg = TeacherConfig(use_labels=True, n_label_iters=0)
+    tr = GATTeacherTrainer(cfg, ds.graph, ds.x, ds.y, ds.split_idx, 40)
+    assert tr.num_params() == 1_441_580
