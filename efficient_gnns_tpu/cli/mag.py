@@ -1,0 +1,100 @@
+"""ogbn-mag R-GCN training CLI (reference ``mag_pyg/gnn.py:485-526`` flags)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser("R-GCN on ogbn-mag (TPU)")
+    p.add_argument("--dataset", type=str, default="synthetic")
+    p.add_argument("--expt_name", type=str, default="debug")
+    p.add_argument("--training", type=str, default="supervised",
+                   choices=["supervised", "kd", "fitnet", "at", "gpw", "lpw", "nce"])
+    p.add_argument("--kd_and_aux", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--hidden_channels", type=int, default=32)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--batch_size", type=int, default=20000)
+    p.add_argument("--num_steps", type=int, default=30)
+    p.add_argument("--alpha", type=float, default=0.9)
+    p.add_argument("--kd_T", type=float, default=4.0)
+    p.add_argument("--beta", type=float, default=100.0)
+    p.add_argument("--kernel", type=str, default="cosine")
+    p.add_argument("--max_samples", type=int, default=8192)
+    p.add_argument("--proj_dim", type=int, default=128)
+    p.add_argument("--nce_T", type=float, default=0.075)
+    p.add_argument("--teacher_path", type=str, default=None)
+    p.add_argument("--teacher_hidden", type=int, default=512)
+    p.add_argument("--teacher_layers", type=int, default=3)
+    p.add_argument("--out_dir", type=str, default="logs")
+    # synthetic sizing
+    p.add_argument("--n_paper", type=int, default=4000)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from efficient_gnns_tpu.train.checkpoint import load_pytree
+    from efficient_gnns_tpu.train.config import DistillConfig
+    from efficient_gnns_tpu.train.logger import Logger
+    from efficient_gnns_tpu.train.mag_trainer import MagTrainer
+
+    if args.dataset == "synthetic":
+        from efficient_gnns_tpu.data.mag import synthetic_mag_dataset
+
+        ds = synthetic_mag_dataset(n_paper=args.n_paper, seed=42)
+    else:
+        from efficient_gnns_tpu.data.mag import load_ogbn_mag
+
+        ds = load_ogbn_mag()
+
+    cfg = DistillConfig(
+        training=args.training, kd_and_aux=args.kd_and_aux,
+        num_layers=args.num_layers, hidden=args.hidden_channels,
+        dropout=args.dropout, lr=args.lr, alpha=args.alpha, kd_T=args.kd_T,
+        beta=args.beta, kernel=args.kernel, max_samples=args.max_samples,
+        proj_dim=args.proj_dim, nce_T=args.nce_T,
+    )
+    logger = Logger(args.runs)
+    for run in range(args.runs):
+        seed = args.seed + run
+        teacher_params = None
+        if cfg.needs_teacher() and args.teacher_path:
+            ckpt = load_pytree(
+                os.path.join(args.teacher_path, f"seed{seed}.msgpack"), None
+            )
+            teacher_params = ckpt["params"]
+        tr = MagTrainer(
+            cfg, ds, batch_size=args.batch_size, num_steps=args.num_steps,
+            teacher_params=teacher_params, teacher_hidden=args.teacher_hidden,
+            teacher_layers=args.teacher_layers, seed=seed,
+        )
+        if run == 0:
+            print(f"params: {tr.num_params()}  device: {jax.devices()[0]}")
+        for epoch in range(1, args.epochs + 1):
+            m = tr.train_epoch(epoch)
+            accs = tr.evaluate()
+            logger.add_result(run, accs)
+            print(f"Run {run} Epoch {epoch} loss {m['loss']:.4f} "
+                  f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}")
+        logger.print_statistics(run)
+    logger.print_statistics()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(
+        args.out_dir, f"mag-{args.expt_name}-{args.training}.json"
+    ), "w") as f:
+        json.dump({"args": vars(args), "statistics": logger.statistics()}, f)
+
+
+if __name__ == "__main__":
+    main()

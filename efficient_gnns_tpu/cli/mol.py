@@ -1,0 +1,109 @@
+"""ogbg-molhiv graph-classification CLI (workload named in the reference's
+results table; code unreleased there — built to the OGB-standard recipes)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser("molhiv distillation (TPU)")
+    p.add_argument("--dataset", type=str, default="synthetic")
+    p.add_argument("--expt_name", type=str, default="debug")
+    p.add_argument("--gnn", type=str, default="gcn",
+                   choices=["gcn", "gin", "gine", "pna"])
+    p.add_argument("--teacher_gnn", type=str, default="gine",
+                   choices=["gine", "pna"])
+    p.add_argument("--training", type=str, default="supervised",
+                   choices=["supervised", "kd", "fitnet", "at", "gpw", "nce"])
+    p.add_argument("--kd_and_aux", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--runs", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--hidden_channels", type=int, default=64)
+    p.add_argument("--teacher_hidden", type=int, default=300)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--teacher_layers", type=int, default=5)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--kd_T", type=float, default=1.0)
+    p.add_argument("--beta", type=float, default=0.5)
+    p.add_argument("--kernel", type=str, default="cosine")
+    p.add_argument("--max_samples", type=int, default=8192)
+    p.add_argument("--proj_dim", type=int, default=64)
+    p.add_argument("--nce_T", type=float, default=0.075)
+    p.add_argument("--teacher_path", type=str, default=None)
+    p.add_argument("--out_dir", type=str, default="logs")
+    p.add_argument("--n_train", type=int, default=400)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from efficient_gnns_tpu.models.mol import MolGNN
+    from efficient_gnns_tpu.train.checkpoint import load_pytree
+    from efficient_gnns_tpu.train.config import DistillConfig
+    from efficient_gnns_tpu.train.logger import Logger
+    from efficient_gnns_tpu.train.mol_trainer import MolTrainer
+
+    if args.dataset == "synthetic":
+        from efficient_gnns_tpu.data.molhiv import synthetic_molhiv_dataset
+
+        ds = synthetic_molhiv_dataset(n_train=args.n_train, seed=42)
+    else:
+        raise NotImplementedError("real molhiv loader requires ogb data cache")
+
+    cfg = DistillConfig(
+        training=args.training, kd_and_aux=args.kd_and_aux,
+        hidden=args.hidden_channels, num_layers=args.num_layers,
+        dropout=args.dropout, lr=args.lr, alpha=args.alpha, kd_T=args.kd_T,
+        beta=args.beta, kernel=args.kernel, max_samples=args.max_samples,
+        proj_dim=args.proj_dim, nce_T=args.nce_T,
+    )
+    logger = Logger(args.runs)
+    for run in range(args.runs):
+        seed = args.seed + run
+        student = MolGNN(conv=args.gnn, hidden=args.hidden_channels,
+                         num_tasks=ds.num_tasks, num_layers=args.num_layers,
+                         dropout=args.dropout,
+                         pna_delta=ds.mean_log_degree, pna_towers=4)
+        teacher = None
+        teacher_params = None
+        if cfg.needs_teacher():
+            teacher = MolGNN(conv=args.teacher_gnn, hidden=args.teacher_hidden,
+                             num_tasks=ds.num_tasks, num_layers=args.teacher_layers,
+                             virtual_node=(args.teacher_gnn == "gine"),
+                             pna_delta=ds.mean_log_degree, pna_towers=4)
+            if args.teacher_path:
+                teacher_params = load_pytree(
+                    os.path.join(args.teacher_path, f"seed{seed}.msgpack"), None
+                )
+        tr = MolTrainer(cfg, ds, student, teacher=teacher,
+                        teacher_params=teacher_params,
+                        batch_size=args.batch_size, seed=seed)
+        if run == 0:
+            print(f"device: {jax.devices()[0]}")
+        for epoch in range(1, args.epochs + 1):
+            m = tr.train_epoch(epoch)
+            aucs = tr.evaluate_all()
+            logger.add_result(run, aucs)
+            print(f"Run {run} Epoch {epoch} loss {m['loss']:.4f} "
+                  f"AUC train/val/test {aucs[0]:.4f}/{aucs[1]:.4f}/{aucs[2]:.4f}")
+        logger.print_statistics(run)
+    logger.print_statistics()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(
+        args.out_dir, f"mol-{args.expt_name}-{args.gnn}-{args.training}.json"
+    ), "w") as f:
+        json.dump({"args": vars(args), "statistics": logger.statistics()}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""PPI dataset (synthetic generator + gated torch-geometric-free loader).
+
+The real PPI benchmark is 24 protein-interaction graphs (20 train / 2 val /
+2 test, 50-d features, 121 binary labels). Without network egress the
+synthetic generator reproduces the shape: a list of per-graph
+``(senders, receivers, num_nodes, x, y)`` with correlated multi-labels so
+models can learn.
+
+All graphs are padded to one static (node, edge) budget so a single jitted
+train step serves every graph — the reference uses a batch=1 DataLoader
+(``ppi_pyg/gnn.py:305-310``), so one-padded-graph-per-step matches its
+semantics exactly. PyG's ``GATConv`` adds self loops internally; here the
+builder adds them once per graph.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Tuple
+
+import numpy as np
+
+from efficient_gnns_tpu.graphs.container import Graph
+from efficient_gnns_tpu.graphs.preprocess import build_graph, pad_length
+
+
+class PPIGraph(NamedTuple):
+    graph: Graph
+    x: np.ndarray  # float32 [pad_nodes, F]
+    y: np.ndarray  # float32 [pad_nodes, L] multi-label
+    num_nodes: int
+
+
+class PPIDataset(NamedTuple):
+    train: List[PPIGraph]
+    valid: List[PPIGraph]
+    test: List[PPIGraph]
+    feat_dim: int
+    num_labels: int
+
+
+def _make_graph(rng, n_nodes, avg_deg, feat_dim, num_labels, pad_nodes, pad_edges):
+    protos = rng.normal(size=(num_labels, feat_dim)).astype(np.float32) * 0.5
+    y = (rng.random((n_nodes, num_labels)) < 0.3).astype(np.float32)
+    x = (y @ protos + rng.normal(size=(n_nodes, feat_dim))).astype(np.float32)
+    e = n_nodes * avg_deg
+    s = rng.integers(0, n_nodes, size=e)
+    r = rng.integers(0, n_nodes, size=e)
+    graph = build_graph(
+        np.concatenate([s, r]),  # undirected
+        np.concatenate([r, s]),
+        n_nodes,
+        self_loops=True,
+        pad_nodes_to=pad_nodes,
+        pad_edges_to=pad_edges,
+        n_node_valid=n_nodes,
+    )
+    xp = np.zeros((pad_nodes, feat_dim), np.float32)
+    xp[:n_nodes] = x
+    yp = np.zeros((pad_nodes, num_labels), np.float32)
+    yp[:n_nodes] = y
+    return PPIGraph(graph=graph, x=xp, y=yp, num_nodes=n_nodes)
+
+
+def synthetic_ppi_dataset(
+    n_train: int = 8,
+    n_valid: int = 2,
+    n_test: int = 2,
+    min_nodes: int = 100,
+    max_nodes: int = 300,
+    avg_deg: int = 8,
+    feat_dim: int = 50,
+    num_labels: int = 121,
+    seed: int = 0,
+) -> PPIDataset:
+    rng = np.random.default_rng(seed)
+    pad_nodes = pad_length(max_nodes, 128)
+    pad_edges = pad_length(max_nodes * avg_deg * 2 + pad_nodes, 1024)
+
+    def make(k):
+        return [
+            _make_graph(
+                rng, int(rng.integers(min_nodes, max_nodes + 1)), avg_deg,
+                feat_dim, num_labels, pad_nodes, pad_edges,
+            )
+            for _ in range(k)
+        ]
+
+    return PPIDataset(
+        train=make(n_train), valid=make(n_valid), test=make(n_test),
+        feat_dim=feat_dim, num_labels=num_labels,
+    )
+
+
+def micro_f1(logits: np.ndarray, labels: np.ndarray) -> float:
+    """Micro-averaged F1 at threshold 0 (sklearn f1_score(average='micro')
+    on ``(logits > 0)`` — reference ``ppi_pyg/gnn.py:277-288``)."""
+    pred = (np.asarray(logits) > 0).astype(np.int64).reshape(-1)
+    true = np.asarray(labels).astype(np.int64).reshape(-1)
+    tp = int(np.sum((pred == 1) & (true == 1)))
+    fp = int(np.sum((pred == 1) & (true == 0)))
+    fn = int(np.sum((pred == 0) & (true == 1)))
+    denom = 2 * tp + fp + fn
+    return 2 * tp / denom if denom else 0.0

@@ -261,6 +261,7 @@ def lsp_term(
     teacher_feat,
     kernel: str = "cosine",
     mode: str = "kld",
+    keep_mask=None,
 ):
     """Per-edge similarity distributions (segment-softmax over in-edges of
     each receiver), KL(teacher || student) or MSE, mean over edge count.
@@ -270,6 +271,11 @@ def lsp_term(
     ``torch_geometric.utils.softmax`` (criterion.py:103-113).
     """
     mask = graph.edge_mask
+    if keep_mask is not None:
+        # restrict to a node subset (e.g. train nodes of a sampled subgraph,
+        # reference mag_pyg/gnn.py:237) without relabeling: masked softmax
+        # over kept edges == softmax over the induced subgraph's edges
+        mask = jnp.logical_and(mask, keep_mask)
     p_s = segment_softmax(
         _edge_similarity(graph, feat, kernel), graph.receivers, graph.num_nodes, mask
     )

@@ -1,0 +1,137 @@
+"""GraphSAINT random-walk subgraph sampler.
+
+Replaces PyG's C++ ``GraphSAINTRandomWalkSampler`` (torch-cluster
+``random_walk`` + ``sample_adj``; reference ``mag_pyg/gnn.py:361-366``):
+sample ``batch_size`` root nodes uniformly, walk ``walk_length`` steps over
+the (out-)adjacency, take the node-induced subgraph of all visited nodes
+and relabel.
+
+TPU-first twist: subgraphs are padded to *static* shapes (node budget =
+``batch_size * (walk_length + 1)``, configurable edge budget) so one
+compiled train step serves every sampled subgraph — the recompile-budget
+control called out in SURVEY.md section 7. The walk itself is vectorized
+NumPy over CSR (a C++ builder can slot in behind the same interface).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from efficient_gnns_tpu.graphs.container import Graph
+from efficient_gnns_tpu.graphs.preprocess import build_graph
+
+
+class SaintSubgraph(NamedTuple):
+    graph: Graph  # padded, receiver-sorted; edge_type attached when typed
+    node_ids: np.ndarray  # int64 [node_budget] global ids (0 for padding)
+    num_nodes: int  # valid node count
+    dropped_edges: int  # edges over budget (0 in practice)
+
+
+class GraphSaintRandomWalkSampler:
+    def __init__(
+        self,
+        senders: np.ndarray,
+        receivers: np.ndarray,
+        num_nodes: int,
+        batch_size: int,
+        walk_length: int,
+        edge_budget: Optional[int] = None,
+        edge_type: Optional[np.ndarray] = None,
+        num_edge_types: int = 0,
+        seed: int = 0,
+    ):
+        self.num_nodes = int(num_nodes)
+        self.batch_size = int(batch_size)
+        self.walk_length = int(walk_length)
+        self.node_budget = self.batch_size * (self.walk_length + 1)
+        self.edge_type = None if edge_type is None else np.asarray(edge_type)
+        self.num_edge_types = num_edge_types
+        self.rng = np.random.default_rng(seed)
+
+        # CSR over senders (out-adjacency) for the walk
+        order = np.argsort(senders, kind="stable")
+        self._nbr = np.asarray(receivers)[order]
+        counts = np.bincount(np.asarray(senders), minlength=num_nodes)
+        self._offsets = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.cumsum(counts, out=self._offsets[1:])
+        self._deg = counts.astype(np.int64)
+
+        # receiver-CSR for fast induced-subgraph extraction
+        r = np.asarray(receivers)
+        order_r = np.argsort(r, kind="stable")
+        self._in_src = np.asarray(senders)[order_r]
+        self._in_eid = order_r
+        counts_r = np.bincount(r, minlength=num_nodes)
+        self._in_offsets = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.cumsum(counts_r, out=self._in_offsets[1:])
+
+        self._senders = np.asarray(senders)
+        self._receivers = np.asarray(receivers)
+        if edge_budget is None:
+            # heuristic: avg degree * node budget * 2, rounded up
+            avg_deg = max(1.0, len(senders) / max(num_nodes, 1))
+            edge_budget = int(avg_deg * self.node_budget * 2)
+        self.edge_budget = ((edge_budget + 1023) // 1024) * 1024
+
+    def _random_walk(self) -> np.ndarray:
+        """Vectorized batched random walk; dead ends stay in place."""
+        cur = self.rng.integers(0, self.num_nodes, size=self.batch_size)
+        visited = [cur]
+        for _ in range(self.walk_length):
+            deg = self._deg[cur]
+            r = self.rng.integers(0, np.maximum(deg, 1))
+            nxt = np.where(
+                deg > 0, self._nbr[self._offsets[cur] + np.minimum(r, deg - 1)], cur
+            )
+            visited.append(nxt)
+            cur = nxt
+        return np.unique(np.concatenate(visited))
+
+    def sample(self) -> SaintSubgraph:
+        nodes = self._random_walk()
+        k = len(nodes)
+        # induced edges: all in-edges of sampled nodes whose sender is sampled
+        starts, ends = self._in_offsets[nodes], self._in_offsets[nodes + 1]
+        total = int(np.sum(ends - starts))
+        cand_eid = np.empty(total, dtype=np.int64)
+        cand_dst = np.empty(total, dtype=np.int64)
+        pos = 0
+        for node, s, e in zip(nodes, starts, ends):
+            cnt = e - s
+            cand_eid[pos : pos + cnt] = self._in_eid[s:e]
+            cand_dst[pos : pos + cnt] = node
+            pos += cnt
+        cand_src = self._senders[cand_eid]
+        relabel = np.full(self.num_nodes, -1, dtype=np.int64)
+        relabel[nodes] = np.arange(k, dtype=np.int64)
+        keep = relabel[cand_src] >= 0
+        eid = cand_eid[keep]
+        s_loc = relabel[cand_src[keep]]
+        r_loc = relabel[cand_dst[keep]]
+
+        dropped = 0
+        if len(eid) > self.edge_budget:
+            dropped = len(eid) - self.edge_budget
+            sel = self.rng.choice(len(eid), self.edge_budget, replace=False)
+            eid, s_loc, r_loc = eid[sel], s_loc[sel], r_loc[sel]
+
+        et = None
+        if self.edge_type is not None:
+            et = self.edge_type[eid]
+        graph = build_graph(
+            s_loc,
+            r_loc,
+            num_nodes=k,
+            edge_type=et,
+            num_edge_types=self.num_edge_types,
+            pad_nodes_to=self.node_budget,
+            pad_edges_to=self.edge_budget,
+            n_node_valid=k,
+        )
+        node_ids = np.zeros(self.node_budget, dtype=np.int64)
+        node_ids[:k] = nodes
+        return SaintSubgraph(graph=graph, node_ids=node_ids, num_nodes=k,
+                             dropped_edges=dropped)

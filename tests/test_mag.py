@@ -1,0 +1,101 @@
+"""MAG pipeline tests: hetero grouping, SAINT sampling, R-GCN training."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from efficient_gnns_tpu.data.mag import synthetic_mag_dataset
+from efficient_gnns_tpu.graphs.hetero import group_hetero_graph, mag_preprocess
+from efficient_gnns_tpu.sampling.saint import GraphSaintRandomWalkSampler
+from efficient_gnns_tpu.train.config import DistillConfig
+from efficient_gnns_tpu.train.mag_trainer import MagTrainer
+
+
+def test_group_hetero_graph_semantics():
+    ei = {
+        ("a", "r1", "b"): np.array([[0, 1], [0, 1]]),
+        ("b", "r2", "a"): np.array([[0], [2]]),
+    }
+    g = group_hetero_graph(ei, {"a": 3, "b": 2})
+    # types sorted: a -> 0 (offset 0), b -> 1 (offset 3)
+    assert g.key2int["a"] == 0 and g.key2int["b"] == 1
+    np.testing.assert_array_equal(g.local2global["a"], [0, 1, 2])
+    np.testing.assert_array_equal(g.local2global["b"], [3, 4])
+    np.testing.assert_array_equal(g.node_type, [0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(g.local_node_idx, [0, 1, 2, 0, 1])
+    # edges: r1 a->b global (0->3, 1->4); r2 b->a (3->2)
+    cols = {tuple(g.edge_index[:, i]) for i in range(3)}
+    assert cols == {(0, 3), (1, 4), (3, 2)}
+    assert set(g.edge_type.tolist()) == {0, 1}
+
+
+def test_mag_preprocess_seven_relations():
+    ds = synthetic_mag_dataset(n_paper=200, n_author=100, n_inst=10, n_field=20)
+    assert ds.grouped.edge_type.max() == 6  # 7 relations
+    # cites relation is symmetric
+    g = ds.grouped
+    key2int = g.key2int
+    cites_id = key2int[("paper", "cites", "paper")]
+    m = g.edge_type == cites_id
+    pairs = {tuple(e) for e in g.edge_index[:, m].T.tolist()}
+    assert all((b, a) in pairs for a, b in pairs)
+
+
+def test_saint_sampler_shapes_and_validity():
+    ds = synthetic_mag_dataset(n_paper=300, n_author=150, n_inst=10, n_field=30)
+    g = ds.grouped
+    n_total = g.node_type.shape[0]
+    sampler = GraphSaintRandomWalkSampler(
+        g.edge_index[0], g.edge_index[1], n_total,
+        batch_size=32, walk_length=2,
+        edge_type=g.edge_type, num_edge_types=7, seed=0,
+    )
+    sub = sampler.sample()
+    assert sub.graph.num_nodes == 32 * 3  # static budget
+    assert sub.num_nodes <= 96
+    assert sub.dropped_edges == 0
+    # all edges connect sampled nodes; senders valid where edge valid
+    e = int(sub.graph.n_edge)
+    s = np.asarray(sub.graph.senders)[:e]
+    r = np.asarray(sub.graph.receivers)[:e]
+    assert s.max() < sub.num_nodes and r.max() < sub.num_nodes
+    # edge types preserved: check a few edges exist in the global graph
+    ids = sub.node_ids
+    glob_pairs = set(map(tuple, g.edge_index.T.tolist()))
+    for i in range(0, e, max(1, e // 10)):
+        assert (ids[s[i]], ids[r[i]]) in glob_pairs
+    # two consecutive samples differ (randomness)
+    sub2 = sampler.sample()
+    assert not np.array_equal(sub.node_ids, sub2.node_ids)
+
+
+@pytest.mark.parametrize("mode", ["supervised", "kd", "nce", "lpw", "gpw"])
+def test_mag_trainer_modes(mode):
+    ds = synthetic_mag_dataset(n_paper=300, n_author=150, n_inst=10, n_field=30,
+                               feat_dim=16, num_classes=4)
+    cfg = DistillConfig(
+        training=mode, hidden=8, num_layers=2, dropout=0.3, lr=0.01,
+        beta=1.0, max_samples=64, proj_dim=8,
+    )
+    tr = MagTrainer(cfg, ds, batch_size=48, num_steps=4, seed=0,
+                    teacher_hidden=12, teacher_layers=2)
+    m0 = tr.train_epoch(0)
+    m = None
+    for e in range(1, 5):
+        m = tr.train_epoch(e)
+    assert np.isfinite(m["loss"]), (mode, m)
+    accs = tr.evaluate()
+    assert all(np.isfinite(a) for a in accs), mode
+
+
+def test_mag_supervised_learns():
+    ds = synthetic_mag_dataset(n_paper=400, n_author=100, n_inst=10, n_field=20,
+                               feat_dim=16, num_classes=4, avg_cites=8)
+    cfg = DistillConfig(training="supervised", hidden=16, num_layers=2,
+                        dropout=0.1, lr=0.01)
+    tr = MagTrainer(cfg, ds, batch_size=64, num_steps=6, seed=0)
+    acc0 = tr.evaluate()
+    for e in range(12):
+        tr.train_epoch(e)
+    acc1 = tr.evaluate()
+    assert acc1[0] > max(acc0[0], 0.4), (acc0, acc1)
