@@ -1,0 +1,15 @@
+from efficient_gnns_tpu.analysis.correlation import (
+    edge_cosine_distance,
+    linear_cka,
+    mantel_correlation,
+    pairwise_cosine_distance_condensed,
+    structure_report,
+)
+
+__all__ = [
+    "edge_cosine_distance",
+    "linear_cka",
+    "mantel_correlation",
+    "pairwise_cosine_distance_condensed",
+    "structure_report",
+]

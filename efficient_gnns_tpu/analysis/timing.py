@@ -1,0 +1,66 @@
+"""Inference timing + device-memory measurement.
+
+The analog of the reference's checkpoint-evaluation/benchmark scripts
+(``arxiv_pyg/test.py:88-114`` wall-clock + NVML polling around a full-graph
+forward; ``mag_pyg/test.py:141-207``; ``arxiv_dgl/test_timing_{gat,sign}.py``)
+— but TPU-native: memory comes from ``device.memory_stats()`` instead of
+NVML, timing uses ``block_until_ready`` so the async dispatch queue can't
+fake a fast forward, and the model forward is jitted once and measured over
+``runs`` repetitions.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+
+
+def device_memory_stats(device=None) -> Dict[str, int]:
+    """Best-effort device memory counters (bytes). Empty dict on backends
+    that expose none (CPU)."""
+    dev = device or jax.devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        stats = {}
+    keys = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+    return {k: int(stats[k]) for k in keys if k in stats}
+
+
+def time_inference(
+    fn: Callable,
+    *args,
+    runs: int = 10,
+    warmup: int = 2,
+    device=None,
+) -> Dict[str, float]:
+    """Times a jitted forward: mean/min wall-clock per call + memory.
+
+    ``fn`` is jitted here if it isn't already; the first ``warmup`` calls
+    (compile included) are excluded, matching how the reference averages
+    post-warmup iterations (``arxiv_pyg/test.py:168-190``).
+    """
+    jfn = jax.jit(fn) if not hasattr(fn, "lower") else fn
+    for _ in range(warmup):
+        jax.block_until_ready(jfn(*args))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jfn(*args))
+        times.append(time.perf_counter() - t0)
+    out = {
+        "mean_s": sum(times) / len(times),
+        "min_s": min(times),
+        "max_s": max(times),
+        "runs": runs,
+    }
+    out.update({f"mem_{k}": v for k, v in device_memory_stats(device).items()})
+    return out
+
+
+def count_params(params) -> int:
+    """Total trainable parameter count of a pytree (the reference prints
+    this per model, e.g. ``arxiv_dgl/gat.py:382``)."""
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -52,6 +52,7 @@ def synthetic_node_dataset(
     valid_frac: float = 0.18,
     label_smoothing_hops: int = 2,
     pad_nodes_to: Optional[int] = None,
+    block: bool = True,
 ) -> NodeDataset:
     """ogbn-arxiv-shaped synthetic dataset (defaults = real arxiv sizes)."""
     rng = np.random.default_rng(seed)
@@ -80,6 +81,7 @@ def synthetic_node_dataset(
         s, r, num_nodes,
         bidirected=True, self_loops=True,
         pad_nodes_to=pad_nodes_to,
+        block=block,
     )
     graph = gcn_norm_weights(graph)
     if pad_nodes_to is not None and pad_nodes_to > num_nodes:

@@ -75,6 +75,9 @@ class Graph:
     n_edge: jnp.ndarray
     edge_weight: Optional[jnp.ndarray] = None
     edge_type: Optional[jnp.ndarray] = None
+    # Pallas kernel edge blockings (graphs/blocking.py); None -> XLA path
+    blocking: Optional[object] = None
+    t_blocking: Optional[object] = None
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_edge_types: int = struct.field(pytree_node=False, default=0)
 
@@ -131,6 +134,8 @@ class Graph:
             edge_type=None
             if self.edge_type is None
             else self.edge_type[self.csc_perm],
+            blocking=self.t_blocking,
+            t_blocking=self.blocking,
             num_nodes=self.num_nodes,
             num_edge_types=self.num_edge_types,
         )

@@ -29,11 +29,14 @@ def pad_length(n: int, multiple: int = 128) -> int:
 def to_bidirected(
     senders: np.ndarray, receivers: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Add reverse edges and deduplicate (DGL ``to_bidirected`` semantics)."""
-    s = np.concatenate([senders, receivers])
-    r = np.concatenate([receivers, senders])
-    edges = np.unique(np.stack([s, r], axis=1), axis=0)
-    return edges[:, 0], edges[:, 1]
+    """Add reverse edges and deduplicate (DGL ``to_bidirected`` semantics).
+
+    Uses the C++ host runtime when built (native/gnns_host.cc), NumPy
+    otherwise.
+    """
+    from efficient_gnns_tpu.native import host as _native
+
+    return _native.to_bidirected(senders, receivers)
 
 
 def add_self_loops(
@@ -50,12 +53,9 @@ def add_self_loops(
 
 def _csr_offsets(sorted_rows: np.ndarray, num_rows: int) -> np.ndarray:
     """CSR offsets over an ascending row-id array (padding ids >= num_rows)."""
-    counts = np.bincount(
-        sorted_rows[sorted_rows < num_rows], minlength=num_rows
-    ).astype(np.int32)
-    offsets = np.zeros(num_rows + 1, dtype=np.int32)
-    np.cumsum(counts, out=offsets[1:])
-    return offsets
+    from efficient_gnns_tpu.native import host as _native
+
+    return _native.csr_offsets(np.asarray(sorted_rows, np.int32), num_rows)
 
 
 def build_graph(
@@ -72,6 +72,9 @@ def build_graph(
     pad_edges_to: Optional[int] = None,
     edge_pad_multiple: int = 1024,
     n_node_valid: Optional[int] = None,
+    block: bool = False,
+    block_tm: int = 256,
+    block_eb: int = 512,
 ) -> Graph:
     """Build a device-ready :class:`Graph` from a raw COO edge list.
 
@@ -85,6 +88,8 @@ def build_graph(
         to ``edge_pad_multiple``.
       n_node_valid: number of valid nodes (defaults to ``num_nodes``) — use
         when the node set itself is padded.
+      block: also build the Pallas edge blockings (graphs/blocking.py) from
+        the host arrays before device upload.
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
@@ -107,14 +112,16 @@ def build_graph(
     if e_pad < e:
         raise ValueError(f"pad_edges_to={e_pad} < num_edges={e}")
 
+    from efficient_gnns_tpu.native import host as _native
+
     # Receiver-sorted (CSR) order; stable lexsort keeps sender ties ordered.
-    csr_order = np.lexsort((senders, receivers))
+    csr_order = _native.lexsort_edges(senders, receivers, num_nodes)
     s_csr = senders[csr_order]
     r_csr = receivers[csr_order]
 
     # Sender-sorted (CSC / transpose) order, expressed as a permutation of
     # the CSR-ordered edges: t_receivers = s_csr[csc_perm].
-    csc_perm = np.lexsort((r_csr, s_csr))
+    csc_perm = _native.lexsort_edges(r_csr, s_csr, num_nodes)
     t_s = r_csr[csc_perm]  # transpose senders = original receivers
     t_r = s_csr[csc_perm]  # transpose receivers = original senders
 
@@ -135,6 +142,19 @@ def build_graph(
         et = np.full(e_pad, num_edge_types, dtype=np.int32)
         et[:e] = np.asarray(edge_type, dtype=np.int32)[csr_order]
 
+    blocking = t_blocking = None
+    if block:
+        from efficient_gnns_tpu.graphs.blocking import build_blocking
+
+        blocking = build_blocking(
+            _pad_idx(s_csr), _pad_idx(r_csr), n_pad, e_pad,
+            tm=block_tm, eb=block_eb,
+        )
+        t_blocking = build_blocking(
+            _pad_idx(t_s), _pad_idx(t_r), n_pad, e_pad,
+            tm=block_tm, eb=block_eb,
+        )
+
     return Graph(
         senders=jnp.asarray(_pad_idx(s_csr)),
         receivers=jnp.asarray(_pad_idx(r_csr)),
@@ -149,6 +169,8 @@ def build_graph(
         n_edge=jnp.asarray(e, dtype=jnp.int32),
         edge_weight=ew if ew is None else jnp.asarray(ew),
         edge_type=et if et is None else jnp.asarray(et),
+        blocking=blocking,
+        t_blocking=t_blocking,
         num_nodes=n_pad,
         num_edge_types=int(num_edge_types),
     )

@@ -1,0 +1,3 @@
+from efficient_gnns_tpu.ops.pallas.segment_matmul import blocked_segment_sum
+
+__all__ = ["blocked_segment_sum"]

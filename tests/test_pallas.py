@@ -1,0 +1,149 @@
+"""Pallas blocked segment-matmul kernel vs the XLA path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import dense_adj
+
+from efficient_gnns_tpu.graphs import build_graph
+from efficient_gnns_tpu.graphs.blocking import attach_blocking, build_blocking
+from efficient_gnns_tpu import ops
+from efficient_gnns_tpu.ops import dispatch
+
+
+@pytest.fixture(autouse=True)
+def _pallas_interpret():
+    dispatch.set_backend("pallas", interpret=True)
+    yield
+    dispatch.set_backend("auto", interpret=False)
+
+
+def _graph(rng, n=300, e=900, tm=64, eb=32):
+    s = rng.integers(0, n, size=e)
+    r = rng.integers(0, n, size=e)
+    g = build_graph(s, r, n, edge_pad_multiple=64)
+    return attach_blocking(g, tm=tm, eb=eb), (s, r)
+
+
+def test_blocking_structure(rng):
+    n, e = 100, 400
+    s = rng.integers(0, n, size=e)
+    r = rng.integers(0, n, size=e)
+    g = build_graph(s, r, n, edge_pad_multiple=64)
+    blk = build_blocking(
+        np.asarray(g.senders), np.asarray(g.receivers), n,
+        g.num_edges_padded, tm=32, eb=16,
+    )
+    nb = blk.num_blocks
+    tile_idx = np.asarray(blk.tile_idx)
+    assert np.all(np.diff(tile_idx) >= 0)  # blocks ordered by tile
+    first = np.asarray(blk.first_flag)
+    # first flag marks tile changes
+    expect_first = np.ones(nb, bool)
+    expect_first[1:] = tile_idx[1:] != tile_idx[:-1]
+    np.testing.assert_array_equal(first.astype(bool), expect_first)
+    # every tile appears (empty tiles get a padding block)
+    assert set(tile_idx.tolist()) == set(range(blk.num_tiles))
+    # each real edge appears exactly once
+    eid = np.asarray(blk.edge_id)
+    real = eid[eid < g.num_edges_padded]
+    # only ids of real (non-padding) edges
+    assert np.all(np.asarray(g.receivers)[real] < n)
+    assert len(np.unique(real)) == e
+    # dst_local consistent with receivers
+    dst_local = np.asarray(blk.dst_local).reshape(-1)
+    has = dst_local < 32
+    recv = np.asarray(g.receivers)[eid[has]]
+    np.testing.assert_array_equal(recv, tile_idx.repeat(16)[has] * 32 + dst_local[has])
+
+
+def test_blocked_spmm_matches_xla(rng):
+    g, (s, r) = _graph(rng)
+    n = 300
+    x = jnp.asarray(rng.normal(size=(n, 20)).astype(np.float32))
+    a = dense_adj(s, r, n)
+    got = ops.spmm(g, x)
+    np.testing.assert_allclose(np.asarray(got), a @ np.asarray(x), rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_spmm_weighted_grads(rng):
+    g, (s, r) = _graph(rng, n=120, e=400, tm=32, eb=16)
+    n = 120
+    x = jnp.asarray(rng.normal(size=(n, 12)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=g.num_edges_padded).astype(np.float32))
+
+    def loss_pallas(x_, w_):
+        return jnp.sum(jnp.sin(ops.spmm(g, x_, edge_weight=w_)))
+
+    def loss_xla(x_, w_):
+        dispatch.set_backend("xla")
+        try:
+            return jnp.sum(jnp.sin(ops.spmm(g, x_, edge_weight=w_)))
+        finally:
+            dispatch.set_backend("pallas", interpret=True)
+
+    v1 = loss_pallas(x, w)
+    gx1, gw1 = jax.grad(loss_pallas, argnums=(0, 1))(x, w)
+    dispatch.set_backend("xla")
+    v2 = jnp.sum(jnp.sin(ops.spmm(g, x, edge_weight=w)))
+    gx2, gw2 = jax.grad(
+        lambda x_, w_: jnp.sum(jnp.sin(ops.spmm(g, x_, edge_weight=w_))),
+        argnums=(0, 1),
+    )(x, w)
+    dispatch.set_backend("pallas", interpret=True)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_spmm_static_weight_grad(rng):
+    # graph.edge_weight path: no weight gradient, dx must still match
+    n = 90
+    s = rng.integers(0, n, size=300)
+    r = rng.integers(0, n, size=300)
+    w = rng.normal(size=300).astype(np.float32)
+    g = build_graph(s, r, n, edge_weight=w, edge_pad_multiple=64)
+    g = attach_blocking(g, tm=32, eb=16)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+
+    gx1 = jax.grad(lambda x_: jnp.sum(ops.spmm(g, x_) ** 2))(x)
+    dispatch.set_backend("xla")
+    gx2 = jax.grad(lambda x_: jnp.sum(ops.spmm(g, x_) ** 2))(x)
+    dispatch.set_backend("pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_spmm_high_degree_node(rng):
+    # one node receives most edges -> many blocks for one tile
+    n, e = 64, 600
+    s = rng.integers(0, n, size=e)
+    r = np.zeros(e, dtype=np.int64)
+    r[: e // 3] = rng.integers(0, n, size=e // 3)
+    g = build_graph(s, r, n, edge_pad_multiple=64)
+    g = attach_blocking(g, tm=32, eb=16)
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    a = dense_adj(s, r, n)
+    got = ops.spmm(g, x)
+    np.testing.assert_allclose(np.asarray(got), a @ np.asarray(x), rtol=1e-4, atol=1e-3)
+
+
+def test_blocked_spmm_heads_matches_xla(rng):
+    g, (s, r) = _graph(rng, n=100, e=350, tm=32, eb=16)
+    n, h, d = 100, 3, 4
+    x = jnp.asarray(rng.normal(size=(n, h, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(g.num_edges_padded, h)).astype(np.float32))
+
+    def loss(x_, w_):
+        return jnp.sum(jnp.cos(ops.spmm_heads(g, x_, w_)))
+
+    v1 = loss(x, w)
+    g1 = jax.grad(loss, argnums=(0, 1))(x, w)
+    dispatch.set_backend("xla")
+    v2 = loss(x, w)
+    g2 = jax.grad(loss, argnums=(0, 1))(x, w)
+    dispatch.set_backend("pallas", interpret=True)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
