@@ -77,8 +77,24 @@ class GraphSaintRandomWalkSampler:
         self.edge_budget = ((edge_budget + 1023) // 1024) * 1024
 
     def _random_walk(self) -> np.ndarray:
-        """Vectorized batched random walk; dead ends stay in place."""
-        cur = self.rng.integers(0, self.num_nodes, size=self.batch_size)
+        """Batched random walk; dead ends stay in place.
+
+        Uses the C++ multi-threaded walker (native/gnns_host.cc
+        ``random_walks``) when built, vectorized NumPy otherwise.
+        """
+        from efficient_gnns_tpu.native import host as _native
+
+        roots = self.rng.integers(0, self.num_nodes, size=self.batch_size)
+        if _native.available():
+            walks = _native.random_walks(
+                self._offsets.astype(np.int32),
+                self._nbr.astype(np.int32),
+                roots.astype(np.int32),
+                self.walk_length,
+                seed=int(self.rng.integers(0, 2**63 - 1)),
+            )
+            return np.unique(walks)
+        cur = roots
         visited = [cur]
         for _ in range(self.walk_length):
             deg = self._deg[cur]
@@ -95,15 +111,16 @@ class GraphSaintRandomWalkSampler:
         k = len(nodes)
         # induced edges: all in-edges of sampled nodes whose sender is sampled
         starts, ends = self._in_offsets[nodes], self._in_offsets[nodes + 1]
-        total = int(np.sum(ends - starts))
-        cand_eid = np.empty(total, dtype=np.int64)
-        cand_dst = np.empty(total, dtype=np.int64)
-        pos = 0
-        for node, s, e in zip(nodes, starts, ends):
-            cnt = e - s
-            cand_eid[pos : pos + cnt] = self._in_eid[s:e]
-            cand_dst[pos : pos + cnt] = node
-            pos += cnt
+        lens = ends - starts
+        total = int(lens.sum())
+        # vectorized range-gather: position j within each node's in-edge span
+        cand_dst = np.repeat(nodes, lens)
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+            + np.repeat(starts, lens)
+        )
+        cand_eid = self._in_eid[pos]
         cand_src = self._senders[cand_eid]
         relabel = np.full(self.num_nodes, -1, dtype=np.int64)
         relabel[nodes] = np.arange(k, dtype=np.int64)
