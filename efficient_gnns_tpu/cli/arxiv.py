@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_nodes", type=int, default=20000)
     p.add_argument("--num_edges", type=int, default=120000)
     p.add_argument("--out_dir", type=str, default="logs")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard event files")
+    p.add_argument("--platform", type=str, default=None,
+                   help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
 
 
@@ -81,6 +85,9 @@ def load_dataset(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from efficient_gnns_tpu.cli import apply_platform
+
+    apply_platform(args.platform)
     import jax
     import jax.numpy as jnp
 
@@ -88,6 +95,7 @@ def main(argv=None):
     from efficient_gnns_tpu.graphs.preprocess import induced_subgraph
     from efficient_gnns_tpu.models import GCN, SAGE
     from efficient_gnns_tpu.train import DistillConfig, Logger, NodeDistillTrainer
+    from efficient_gnns_tpu.train.metrics import MetricsWriter
 
     ds = load_dataset(args)
     print(
@@ -153,11 +161,27 @@ def main(argv=None):
             teacher_feat=teacher_feat, teacher_logits=teacher_logits,
             lsp_graph=lsp_graph, seed=seed,
         )
+        # experiment identity encoded in the log-dir path
+        # (reference arxiv_pyg/gnn.py:318-324)
+        run_dir = os.path.join(
+            args.out_dir, args.expt_name, f"{args.gnn}-{args.training}",
+            f"seed{seed}",
+        )
+        writer = MetricsWriter(run_dir, tensorboard=args.tensorboard)
         t0 = time.time()
         for epoch in range(1, args.epochs + 1):
             metrics = trainer.train_epoch(epoch)
             _, accs = trainer.evaluate()
             logger.add_result(run, accs)
+            # reference's TB scalar names (arxiv_pyg/gnn.py:355-361)
+            writer.write(epoch, {
+                "loss/train": metrics["loss"],
+                "loss/cls": metrics["loss_cls"],
+                "loss/aux": metrics["loss_aux"],
+                "acc/train": accs[0],
+                "acc/valid": accs[1],
+                "acc/test": accs[2],
+            })
             if epoch % args.log_steps == 0 or epoch == args.epochs:
                 print(
                     f"Run {run + 1:02d} Epoch {epoch:04d} "
@@ -165,6 +189,7 @@ def main(argv=None):
                     f"aux {metrics['loss_aux']:.4f}) "
                     f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}"
                 )
+        writer.close()
         logger.print_statistics(run)
         results.append(
             {"run": run, "seconds": time.time() - t0, **logger.run_statistics(run)}

@@ -46,11 +46,16 @@ def build_parser():
     # synthetic sizing
     p.add_argument("--num-nodes", type=int, default=20000)
     p.add_argument("--num-edges", type=int, default=120000)
+    p.add_argument("--platform", type=str, default=None,
+                   help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from efficient_gnns_tpu.cli import apply_platform
+
+    apply_platform(args.platform)
     if not args.use_labels and args.n_label_iters > 0:
         raise ValueError("'--use-labels' must be enabled when n_label_iters > 0")
 

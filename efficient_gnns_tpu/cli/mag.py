@@ -36,11 +36,16 @@ def build_parser():
     p.add_argument("--out_dir", type=str, default="logs")
     # synthetic sizing
     p.add_argument("--n_paper", type=int, default=4000)
+    p.add_argument("--platform", type=str, default=None,
+                   help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from efficient_gnns_tpu.cli import apply_platform
+
+    apply_platform(args.platform)
     import jax
 
     from efficient_gnns_tpu.train.checkpoint import load_pytree

@@ -34,11 +34,16 @@ def build_parser():
     p.add_argument("--nce_T", type=float, default=0.075)
     p.add_argument("--teacher_path", type=str, default=None)
     p.add_argument("--out_dir", type=str, default="logs")
+    p.add_argument("--platform", type=str, default=None,
+                   help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from efficient_gnns_tpu.cli import apply_platform
+
+    apply_platform(args.platform)
     import jax
 
     from efficient_gnns_tpu.models import PPIGAT, ppi_student, ppi_teacher

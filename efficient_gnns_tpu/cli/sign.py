@@ -45,11 +45,16 @@ def build_parser():
     p.add_argument("--num_nodes", type=int, default=20000)
     p.add_argument("--num_edges", type=int, default=120000)
     p.add_argument("--out_dir", type=str, default="logs")
+    p.add_argument("--platform", type=str, default=None,
+                   help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from efficient_gnns_tpu.cli import apply_platform
+
+    apply_platform(args.platform)
     import jax
     import jax.numpy as jnp
 
