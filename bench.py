@@ -2,12 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measures the dominant sparse training op of the GCN student workload
+(reference ``arxiv_pyg/gnn.py:28-35``): forward SpMM over the cached
+symmetric-normalized adjacency plus its backward (the transposed SpMM),
+i.e. one fwd+bwd of ``A_hat @ X`` with gradient w.r.t. X.
+
 The reference repo ships timing harnesses but records no numbers
 (BASELINE.md "Throughput / memory"), so ``vs_baseline`` here is the fraction
 of single-chip speed-of-light: the HBM-bandwidth roofline for one training
-iteration of the dominant sparse kernel (gather E feature rows + sorted
-scatter for forward, the transposed SpMM for dX and the SDDMM for dW — about
-4*E*F*4 bytes of HBM traffic per iteration at ~819 GB/s on TPU v5e).
+iteration (gather E feature rows + scatter-accumulate for forward, the same
+over the transposed graph for dX — about 4*E*F*4 bytes of HBM traffic at
+~819 GB/s on TPU v5e).
 """
 
 import json
@@ -43,25 +48,26 @@ def main():
           f"{e_real} edges (padded {graph.num_edges_padded})", file=sys.stderr)
 
     x = jnp.asarray(ds.x)
-    w = graph.edge_weight
 
     @jax.jit
-    def fwd_bwd(x, w):
-        def f(x, w):
-            return jnp.sum(spmm(graph, x, edge_weight=w) ** 2)
+    def fwd_bwd(x):
+        # GCN training shape: static normalized adjacency (pre-blocked
+        # weights), gradient w.r.t. node features only
+        def f(x):
+            return jnp.sum(spmm(graph, x) ** 2)
 
-        loss, grads = jax.value_and_grad(f, argnums=(0, 1))(x, w)
+        loss, grads = jax.value_and_grad(f)(x)
         return loss, grads
 
     # warmup/compile
     t0 = time.time()
-    out = fwd_bwd(x, w)
+    out = fwd_bwd(x)
     jax.block_until_ready(out)
     print(f"compile+first-run {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(ITERS):
-        out = fwd_bwd(x, w)
+        out = fwd_bwd(x)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / ITERS
 

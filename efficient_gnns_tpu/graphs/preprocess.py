@@ -74,7 +74,7 @@ def build_graph(
     n_node_valid: Optional[int] = None,
     block: bool = False,
     block_tm: int = 256,
-    block_eb: int = 512,
+    block_eb: Optional[int] = None,
 ) -> Graph:
     """Build a device-ready :class:`Graph` from a raw COO edge list.
 
@@ -144,15 +144,21 @@ def build_graph(
 
     blocking = t_blocking = None
     if block:
-        from efficient_gnns_tpu.graphs.blocking import build_blocking
+        from efficient_gnns_tpu.graphs.blocking import build_blocking, choose_eb
 
+        eb = block_eb if block_eb is not None else choose_eb(
+            _pad_idx(r_csr), n_pad, block_tm
+        )
+        ew_host = None if ew is None else np.asarray(ew)
         blocking = build_blocking(
             _pad_idx(s_csr), _pad_idx(r_csr), n_pad, e_pad,
-            tm=block_tm, eb=block_eb,
+            tm=block_tm, eb=eb, edge_weight=ew_host,
         )
         t_blocking = build_blocking(
             _pad_idx(t_s), _pad_idx(t_r), n_pad, e_pad,
-            tm=block_tm, eb=block_eb,
+            tm=block_tm, eb=eb,
+            edge_weight=None if ew_host is None else ew_host[pad_perm],
+            order_to_csr=pad_perm,
         )
 
     return Graph(
@@ -213,4 +219,9 @@ def gcn_norm_weights(graph: Graph) -> Graph:
     r = jnp.minimum(graph.receivers, graph.num_nodes - 1)
     w = inv_sqrt[s] * inv_sqrt[r]
     w = jnp.where(graph.edge_mask, w, 0.0)
-    return graph.replace(edge_weight=w)
+    graph = graph.replace(edge_weight=w)
+    if graph.blocking is not None:
+        from efficient_gnns_tpu.graphs.blocking import attach_blocked_weights
+
+        graph = attach_blocked_weights(graph)
+    return graph

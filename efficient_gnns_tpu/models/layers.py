@@ -265,9 +265,10 @@ class RGCNConv(nn.Module):
         out = jnp.zeros((x.shape[0], self.features), dtype=x.dtype)
         for r in range(self.num_edge_types):
             sel = (graph.edge_type == r).astype(x.dtype)
-            # per-relation in-degree for the mean
-            deg = spmm(graph, jnp.ones((x.shape[0], 1), x.dtype), edge_weight=sel)
-            agg = spmm(graph, x, edge_weight=sel) / jnp.maximum(deg, 1.0)
+            # per-relation in-degree for the mean; masks carry no gradient
+            deg = spmm(graph, jnp.ones((x.shape[0], 1), x.dtype),
+                       edge_weight=sel, weight_grad=False)
+            agg = spmm(graph, x, edge_weight=sel, weight_grad=False) / jnp.maximum(deg, 1.0)
             out = out + nn.Dense(
                 self.features, use_bias=False, kernel_init=xavier_uniform,
                 name=f"rel_lin_{r}",

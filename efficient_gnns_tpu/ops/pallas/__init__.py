@@ -1,3 +1,6 @@
-from efficient_gnns_tpu.ops.pallas.segment_matmul import blocked_segment_sum
+from efficient_gnns_tpu.ops.pallas.segment_matmul import (
+    blocked_segment_sum,
+    blocked_sddmm_dw,
+)
 
-__all__ = ["blocked_segment_sum"]
+__all__ = ["blocked_segment_sum", "blocked_sddmm_dw"]

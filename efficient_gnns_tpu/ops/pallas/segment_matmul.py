@@ -24,26 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 from efficient_gnns_tpu.graphs.blocking import EdgeBlocking
 
 
-def _kernel(tile_ref, first_ref, dst_ref, msgs_ref, out_ref, *, eb, tm):
+def _accumulate(first_ref, out_ref, partial):
     i = pl.program_id(0)
-    dst = dst_ref[0, 0, :]  # [EB] int32; == tm for padding slots
-    cols = jax.lax.broadcasted_iota(jnp.int32, (eb, tm), 1)
-    onehot = (dst[:, None] == cols).astype(msgs_ref.dtype)
-    # f32 messages need HIGHEST (bf16x3 passes) — the MXU's default single
-    # bf16 pass rounds f32 operands to ~4e-3 relative error. The one-hot
-    # operand is exact in bf16 either way; bf16 messages take the fast path.
-    precision = (
-        jax.lax.Precision.DEFAULT
-        if msgs_ref.dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
-    partial = jax.lax.dot_general(
-        onehot,
-        msgs_ref[...],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # [TM, F]
 
     @pl.when(first_ref[i] == 1)
     def _():
@@ -54,13 +36,54 @@ def _kernel(tile_ref, first_ref, dst_ref, msgs_ref, out_ref, *, eb, tm):
         out_ref[0] = out_ref[0] + partial
 
 
+def _matmul_precision(dtype):
+    # f32 messages need HIGHEST (bf16x3 passes) — the MXU's default single
+    # bf16 pass rounds f32 operands to ~4e-3 relative error. The one-hot
+    # operand is exact in bf16 either way; bf16 messages take the fast path.
+    return (
+        jax.lax.Precision.DEFAULT
+        if dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+
+def _onehot_dot(dst, msgs, eb, tm):
+    cols = jax.lax.broadcasted_iota(jnp.int32, (eb, tm), 1)
+    onehot = (dst[:, None] == cols).astype(msgs.dtype)
+    return jax.lax.dot_general(
+        onehot,
+        msgs,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_matmul_precision(msgs.dtype),
+    )  # [TM, F]
+
+
+def _kernel(tile_ref, first_ref, dst_ref, msgs_ref, out_ref, *, eb, tm):
+    dst = dst_ref[0, 0, :]  # [EB] int32; == tm for padding slots
+    _accumulate(first_ref, out_ref, _onehot_dot(dst, msgs_ref[...], eb, tm))
+
+
+def _kernel_scaled(tile_ref, first_ref, dst_ref, w_ref, msgs_ref, out_ref, *, eb, tm):
+    """Scatter with the per-edge scale fused in (saves a full [E, F] HBM
+    round-trip of pre-scaled messages)."""
+    dst = dst_ref[0, 0, :]
+    # minor-dim insertion must happen on the 32-bit array (Mosaic restriction)
+    # before casting down to the message dtype
+    wcol = w_ref[0, 0, :][:, None].astype(msgs_ref.dtype)  # [EB, 1]; 0 on padding
+    msgs = msgs_ref[...] * wcol
+    _accumulate(first_ref, out_ref, _onehot_dot(dst, msgs, eb, tm))
+
+
 def blocked_segment_sum(
     msgs: jnp.ndarray,  # [nb*EB, F] blocked edge messages (bf16 or f32)
     blocking: EdgeBlocking,
     num_rows: int,
+    w: jnp.ndarray = None,  # optional [nb, EB] (or [nb*EB]) per-edge scale
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns float32[num_rows, F] segment sums over the blocked layout.
+    """Returns float32[num_rows, F] segment sums over the blocked layout,
+    optionally scaling each edge message by ``w`` inside the kernel.
 
     F must be a multiple of 128 (callers pad; see ops/spmm.py).
     """
@@ -69,34 +92,110 @@ def blocked_segment_sum(
     assert msgs.shape[0] == nb * eb, (msgs.shape, nb, eb)
     assert f % 128 == 0, f"feature dim {f} must be a multiple of 128"
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # tile_idx, first_flag
-        grid=(nb,),
-        in_specs=[
-            # [nb, 1, EB] so the trailing block dims equal the array dims
-            # (TPU lowering requires (8,128)-divisible or full-dim blocks)
-            pl.BlockSpec((1, 1, eb), lambda i, tile_ref, first_ref: (i, 0, 0)),
-            pl.BlockSpec((eb, f), lambda i, tile_ref, first_ref: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tm, f), lambda i, tile_ref, first_ref: (tile_ref[i], 0, 0)
-        ),
+    cost = pl.CostEstimate(
+        flops=2 * nb * eb * tm * f,
+        bytes_accessed=msgs.size * msgs.dtype.itemsize
+        + blocking.num_tiles * tm * f * 4,
+        transcendentals=0,
     )
+    prefetch = (blocking.tile_idx, blocking.first_flag)
+    dst = blocking.dst_local.reshape(nb, 1, eb)
+    out_shape = jax.ShapeDtypeStruct((blocking.num_tiles, tm, f), jnp.float32)
+    out_spec = pl.BlockSpec(
+        (1, tm, f), lambda i, tile_ref, first_ref: (tile_ref[i], 0, 0)
+    )
+    # [nb, 1, EB] blocks so the trailing block dims equal the array dims
+    # (TPU lowering requires (8,128)-divisible or full-dim blocks)
+    slot_spec = pl.BlockSpec((1, 1, eb), lambda i, tile_ref, first_ref: (i, 0, 0))
+    msgs_spec = pl.BlockSpec((eb, f), lambda i, tile_ref, first_ref: (i, 0))
+
+    if w is None:
+        out = pl.pallas_call(
+            functools.partial(_kernel, eb=eb, tm=tm),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nb,),
+                in_specs=[slot_spec, msgs_spec],
+                out_specs=out_spec,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(*prefetch, dst, msgs)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel_scaled, eb=eb, tm=tm),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nb,),
+                in_specs=[slot_spec, slot_spec, msgs_spec],
+                out_specs=out_spec,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(*prefetch, dst, w.reshape(nb, 1, eb), msgs)
+    return out.reshape(blocking.num_tiles * tm, f)[:num_rows]
+
+
+def _dw_kernel(tile_ref, dst_ref, g_ref, x_ref, out_ref, *, eb, tm):
+    """dw[slot] = <g[dst_global(slot)], x_blk[slot]> without gathering g:
+    the destination rows come out of the resident g tile via a one-hot MXU
+    product, the dual of the scatter (SDDMM for SpMM's weight grad)."""
+    dst = dst_ref[0, 0, :]  # [EB]; == tm for padding -> zero row -> dw 0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (eb, tm), 1)
+    onehot = (dst[:, None] == cols).astype(g_ref.dtype)
+    g_rows = jax.lax.dot_general(
+        onehot,
+        g_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_matmul_precision(g_ref.dtype),
+    )  # [EB, F]
+    out_ref[0, 0, :] = jnp.sum(g_rows * x_ref[...].astype(jnp.float32), axis=-1)
+
+
+def blocked_sddmm_dw(
+    g: jnp.ndarray,  # [num_tiles*TM, F] cotangent rows (f32), tile-padded
+    x_blk: jnp.ndarray,  # [nb*EB, F] gathered source features
+    blocking: EdgeBlocking,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-edge row-dot ``dw[slot] = <g[r_slot], x[s_slot]>`` over the blocked
+    layout — the SpMM weight gradient. Returns float32[nb*EB] in *blocked*
+    order (padding slots 0). The g rows are read tile-sequentially (one
+    resident [TM, F] tile per block, selected on the MXU), replacing the
+    random row-gather ``g[receivers]`` of the XLA formulation.
+    """
+    nb, eb, tm = blocking.num_blocks, blocking.eb, blocking.tm
+    f = x_blk.shape[-1]
+    assert g.shape == (blocking.num_tiles * tm, f), (g.shape, blocking.num_tiles, tm, f)
+    assert f % 128 == 0
+
     out = pl.pallas_call(
-        functools.partial(_kernel, eb=eb, tm=tm),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((blocking.num_tiles, tm, f), jnp.float32),
+        functools.partial(_dw_kernel, eb=eb, tm=tm),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # tile_idx
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1, eb), lambda i, tile_ref: (i, 0, 0)),
+                pl.BlockSpec((1, tm, f), lambda i, tile_ref: (tile_ref[i], 0, 0)),
+                pl.BlockSpec((eb, f), lambda i, tile_ref: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, eb), lambda i, tile_ref: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, eb), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * eb * tm * f,
-            bytes_accessed=msgs.size * msgs.dtype.itemsize
-            + blocking.num_tiles * tm * f * 4,
+            flops=2 * nb * eb * tm * f + 2 * nb * eb * f,
+            bytes_accessed=x_blk.size * x_blk.dtype.itemsize
+            + nb * tm * f * 4 + nb * eb * 4,
             transcendentals=0,
         ),
     )(
         blocking.tile_idx,
-        blocking.first_flag,
         blocking.dst_local.reshape(nb, 1, eb),
-        msgs,
+        g.reshape(blocking.num_tiles, tm, f),
+        x_blk,
     )
-    return out.reshape(blocking.num_tiles * tm, f)[:num_rows]
+    return out.reshape(nb * eb)

@@ -41,6 +41,7 @@ def _spmm(
     num_nodes: int,
 ):
     out_dtype = x.dtype
+    x = jax.lax.optimization_barrier(x)  # keep the gather un-fused (see _after)
     msgs = gather(x, senders).astype(jnp.float32) * w[:, None].astype(jnp.float32)
     out = segment_sum(msgs, receivers, num_nodes, indices_are_sorted=True)
     return out.astype(out_dtype)
@@ -53,19 +54,23 @@ def _spmm_fwd(x, w, senders, receivers, t_senders, t_receivers, csc_perm, row_of
 
 def _spmm_bwd(num_nodes, res, g):
     x, w, senders, receivers, t_senders, t_receivers, csc_perm, row_offsets = res
+    g, x = jax.lax.optimization_barrier((g, x))  # see _after
     gf = g.astype(jnp.float32)
     wf = w.astype(jnp.float32)
 
     # dX = A^T @ (G * w): per-edge message g[receiver]*w, re-sorted into the
     # sender-sorted (transpose) order so the scatter is again sorted.
-    msgs = gather(gf, receivers) * wf[:, None]
+    gr = gather(gf, receivers)
+    msgs = gr * wf[:, None]
+    msgs, x = _after(msgs, x)  # sequence gathers (HBM thrash; see _after)
     dx = segment_sum(
         msgs[csc_perm], t_receivers, num_nodes, indices_are_sorted=True
     ).astype(x.dtype)
 
     # dW = SDDMM row-dot <g[receiver], x[sender]> (GAT attention gradients).
     valid = receivers < num_nodes
-    dw = jnp.sum(gather(gf, receivers) * gather(x, senders).astype(jnp.float32), axis=-1)
+    dx, x = _after(dx, x)
+    dw = jnp.sum(gr * gather(x, senders).astype(jnp.float32), axis=-1)
     dw = jnp.where(valid, dw, 0.0).astype(w.dtype)
 
     return (
@@ -85,6 +90,16 @@ _spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 # ---------------------------------------------------------------------------
 # Pallas blocked path: scatter as one-hot MXU matmuls (ops/pallas/)
+#
+# Three variants, fastest first:
+#   * unweighted    — no per-edge scale at all (SAGE sum, SIGN precompute);
+#   * static weights — the graph's edge_weight pre-permuted into blocked
+#     layout at build time (EdgeBlocking.w_blk; GCN normalization, mean
+#     aggregation). Zero runtime edge permutations.
+#   * runtime weights — differentiable per-step weights (GAT attention).
+#     The CSR->blocked permutation is done as a width-8 replicated row
+#     gather: a plain scalar gather is latency-bound at ~10 ns/element
+#     (~20 ms for 2M edges); replicating to [E, 8] first cuts it to ~11 ms.
 # ---------------------------------------------------------------------------
 
 
@@ -96,50 +111,153 @@ def _pad_features(a: jnp.ndarray):
     return jnp.pad(a, ((0, 0), (0, fp - f))), f
 
 
-def _blocked_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret):
-    from efficient_gnns_tpu.ops.pallas import blocked_segment_sum
-
-    eid = jnp.minimum(blk.edge_id, w.shape[0] - 1)
-    msgs = gather(x, blk.src).astype(jnp.float32) * w[eid].astype(jnp.float32)[:, None]
-    msgs, f = _pad_features(msgs.astype(msg_dtype))
-    out = blocked_segment_sum(msgs, blk, num_nodes, interpret=interpret)
-    return out[:, :f].astype(x.dtype)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _spmm_blocked(x, w, blk, tblk, csc_perm, senders, receivers,
-                  num_nodes: int, msg_dtype, interpret: bool):
-    return _blocked_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret)
-
-
-def _spmm_blocked_fwd(x, w, blk, tblk, csc_perm, senders, receivers,
-                      num_nodes, msg_dtype, interpret):
-    out = _blocked_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret)
-    return out, (x, w, blk, tblk, csc_perm, senders, receivers)
-
-
 def _tree_float0(tree):
     return jax.tree_util.tree_map(float0_like, tree)
 
 
-def _blocked_dx(g, w, tblk, csc_perm, num_nodes, msg_dtype, interpret, dtype):
+def _after(dep, *vals):
+    """Schedule the computation of ``vals`` after ``dep`` is materialized.
+
+    TPU HBM random-access streams thrash each other: two independent row
+    gathers that XLA schedules concurrently run ~3x slower than in sequence
+    (measured 56 ms vs 19 ms for ogbn-arxiv's [2.1M, 128] gather + [2.1M, 8]
+    gather on v5e). Every multi-gather op here chains its gathers.
+    """
+    out = jax.lax.optimization_barrier((dep,) + vals)
+    return out if len(vals) else out[0]
+
+
+def _expand_runtime(w: jnp.ndarray, blocking) -> jnp.ndarray:
+    """Permute CSR-ordered per-edge scalars into the blocked layout
+    (width-8 replicated row gather; see module comment). Uses the
+    blocking's precomputed CSR mapping so the transpose blocking needs no
+    extra csc permutation."""
+    mapping = blocking.csr_perm if blocking.csr_perm is not None else blocking.edge_id
+    eid = jnp.minimum(mapping, w.shape[0] - 1)
+    rep = jnp.broadcast_to(w[:, None], (w.shape[0], 8))
+    nb, eb = blocking.num_blocks, blocking.eb
+    return gather(rep, eid)[:, 0].reshape(nb, eb)
+
+
+def _blocked_scatter(values, node_idx_blk, blocking, num_nodes, w_blk,
+                     msg_dtype, interpret, out_dtype):
+    """gather rows -> (scale) -> one-hot MXU scatter, features padded to 128."""
     from efficient_gnns_tpu.ops.pallas import blocked_segment_sum
 
-    w_csc = w[csc_perm].astype(jnp.float32)
-    eid = jnp.minimum(tblk.edge_id, w_csc.shape[0] - 1)
-    msgs = gather(g, tblk.src).astype(jnp.float32) * w_csc[eid][:, None]
-    msgs, f = _pad_features(msgs.astype(msg_dtype))
-    dx = blocked_segment_sum(msgs, tblk, num_nodes, interpret=interpret)
-    return dx[:, :f].astype(dtype)
+    msgs = gather(values.astype(msg_dtype), node_idx_blk)
+    msgs, f = _pad_features(msgs)
+    out = blocked_segment_sum(
+        msgs, blocking, num_nodes, w=w_blk, interpret=interpret
+    )
+    return out[:, :f].astype(out_dtype)
 
 
-def _spmm_blocked_bwd(num_nodes, msg_dtype, interpret, res, g):
+# ---- unweighted ------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _spmm_blocked_unweighted(x, blk, tblk, num_nodes: int, msg_dtype, interpret):
+    x = jax.lax.optimization_barrier(x)  # keep gathers un-fused (see _after)
+    return _blocked_scatter(x, blk.src, blk, num_nodes, None,
+                            msg_dtype, interpret, x.dtype)
+
+
+def _spmm_blocked_unw_fwd(x, blk, tblk, num_nodes, msg_dtype, interpret):
+    out = _spmm_blocked_unweighted(x, blk, tblk, num_nodes, msg_dtype, interpret)
+    return out, (jnp.zeros((0,), x.dtype), blk, tblk)
+
+
+def _spmm_blocked_unw_bwd(num_nodes, msg_dtype, interpret, res, g):
+    dtype_carrier, blk, tblk = res
+    g = jax.lax.optimization_barrier(g)  # keep gathers un-fused (see _after)
+    dx = _blocked_scatter(g, tblk.src, tblk, num_nodes, None,
+                          msg_dtype, interpret, dtype_carrier.dtype)
+    return (dx, _tree_float0(blk), _tree_float0(tblk))
+
+
+_spmm_blocked_unweighted.defvjp(_spmm_blocked_unw_fwd, _spmm_blocked_unw_bwd)
+
+
+# ---- static weights (pre-blocked w_blk) ------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _spmm_blocked_static(x, blk, tblk, num_nodes: int, msg_dtype, interpret):
+    x = jax.lax.optimization_barrier(x)  # keep gathers un-fused (see _after)
+    return _blocked_scatter(x, blk.src, blk, num_nodes, blk.w_blk,
+                            msg_dtype, interpret, x.dtype)
+
+
+def _spmm_blocked_static_fwd(x, blk, tblk, num_nodes, msg_dtype, interpret):
+    out = _spmm_blocked_static(x, blk, tblk, num_nodes, msg_dtype, interpret)
+    return out, (jnp.zeros((0,), x.dtype), blk, tblk)
+
+
+def _spmm_blocked_static_bwd(num_nodes, msg_dtype, interpret, res, g):
+    dtype_carrier, blk, tblk = res
+    g = jax.lax.optimization_barrier(g)  # keep gathers un-fused (see _after)
+    dx = _blocked_scatter(g, tblk.src, tblk, num_nodes, tblk.w_blk,
+                          msg_dtype, interpret, dtype_carrier.dtype)
+    return (dx, _tree_float0(blk), _tree_float0(tblk))
+
+
+_spmm_blocked_static.defvjp(_spmm_blocked_static_fwd, _spmm_blocked_static_bwd)
+
+
+# ---- runtime (differentiable) weights ---------------------------------------
+
+
+def _blocked_runtime_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret):
+    from efficient_gnns_tpu.ops.pallas import blocked_segment_sum
+
+    x, w = jax.lax.optimization_barrier((x, w))  # see _after
+    msgs = gather(x.astype(msg_dtype), blk.src)
+    msgs, w = _after(msgs, w)  # sequence the two gathers (see _after)
+    w_blk = _expand_runtime(w, blk)
+    msgs, f = _pad_features(msgs)
+    out = blocked_segment_sum(msgs, blk, num_nodes, w=w_blk, interpret=interpret)
+    return out[:, :f].astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _spmm_blocked(x, w, blk, tblk, csc_perm, senders, receivers,
+                  num_nodes: int, msg_dtype, interpret: bool,
+                  weight_grad: bool = True):
+    return _blocked_runtime_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret)
+
+
+def _spmm_blocked_fwd(x, w, blk, tblk, csc_perm, senders, receivers,
+                      num_nodes, msg_dtype, interpret, weight_grad):
+    out = _blocked_runtime_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret)
+    return out, (x, w, blk, tblk, csc_perm, senders, receivers)
+
+
+def _spmm_blocked_bwd(num_nodes, msg_dtype, interpret, weight_grad, res, g):
+    from efficient_gnns_tpu.ops.pallas import blocked_segment_sum
+
     x, w, blk, tblk, csc_perm, senders, receivers = res
-    dx = _blocked_dx(g, w, tblk, csc_perm, num_nodes, msg_dtype, interpret, x.dtype)
-    gf = g.astype(jnp.float32)
-    valid = receivers < num_nodes
-    dw = jnp.sum(gather(gf, receivers) * gather(x, senders).astype(jnp.float32), axis=-1)
-    dw = jnp.where(valid, dw, 0.0).astype(w.dtype)
+    # materialize the cotangent and chain the backward gathers (see _after)
+    g, x, w = jax.lax.optimization_barrier((g, x, w))
+    g_blk = gather(g.astype(msg_dtype), tblk.src)
+    g_blk, w = _after(g_blk, w)
+    if tblk.csr_perm is not None:
+        w_t_blk = _expand_runtime(w, tblk)
+    else:
+        w_t_blk = _expand_runtime(w[csc_perm], tblk)
+    g_blk_p, f = _pad_features(g_blk)
+    dx = blocked_segment_sum(
+        g_blk_p, tblk, num_nodes, w=w_t_blk, interpret=interpret
+    )[:, :f].astype(x.dtype)
+    if weight_grad:
+        gf = g.astype(jnp.float32)
+        w_t_blk, gf, x = _after(w_t_blk, gf, x)
+        gr = gather(gf, receivers)
+        gr, x = _after(gr, x)
+        xr = gather(x, senders).astype(jnp.float32)
+        valid = receivers < num_nodes
+        dw = jnp.where(valid, jnp.sum(gr * xr, axis=-1), 0.0).astype(w.dtype)
+    else:
+        dw = jnp.zeros_like(w)
     return (
         dx, dw, _tree_float0(blk), _tree_float0(tblk),
         float0_like(csc_perm), float0_like(senders), float0_like(receivers),
@@ -149,36 +267,12 @@ def _spmm_blocked_bwd(num_nodes, msg_dtype, interpret, res, g):
 _spmm_blocked.defvjp(_spmm_blocked_fwd, _spmm_blocked_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _spmm_blocked_nowg(x, w, blk, tblk, csc_perm,
-                       num_nodes: int, msg_dtype, interpret: bool):
-    """Variant with non-differentiable edge weights (GCN's cached
-    normalization) — skips the SDDMM weight-gradient entirely."""
-    return _blocked_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret)
-
-
-def _spmm_blocked_nowg_fwd(x, w, blk, tblk, csc_perm, num_nodes, msg_dtype, interpret):
-    out = _blocked_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret)
-    # zero-size carrier for x's dtype (residuals must be JAX types)
-    return out, (jnp.zeros((0,), x.dtype), w, blk, tblk, csc_perm)
-
-
-def _spmm_blocked_nowg_bwd(num_nodes, msg_dtype, interpret, res, g):
-    dtype_carrier, w, blk, tblk, csc_perm = res
-    dtype = dtype_carrier.dtype
-    dx = _blocked_dx(g, w, tblk, csc_perm, num_nodes, msg_dtype, interpret, dtype)
-    return (dx, float0_like(w), _tree_float0(blk), _tree_float0(tblk),
-            float0_like(csc_perm))
-
-
-_spmm_blocked_nowg.defvjp(_spmm_blocked_nowg_fwd, _spmm_blocked_nowg_bwd)
-
-
 def spmm(
     graph: Graph,
     x: jnp.ndarray,
     edge_weight: Optional[jnp.ndarray] = None,
     transpose: bool = False,
+    weight_grad: bool = True,
 ) -> jnp.ndarray:
     """``out[r] = sum_{e:(s->r)} w_e * x[s]`` — message passing aggregation.
 
@@ -189,28 +283,37 @@ def spmm(
         overrides ``graph.edge_weight``. Differentiable (used for GAT
         attention coefficients).
       transpose: aggregate over the reversed edges instead.
+      weight_grad: set False when ``edge_weight`` carries no gradient (e.g.
+        relation masks) to skip the SDDMM weight-gradient in the backward.
     """
     if transpose:
         graph = graph.transpose()
-    weight_grad = edge_weight is not None
-    w = edge_weight if edge_weight is not None else graph.edge_weight
-    if w is None:
-        w = graph.edge_mask.astype(x.dtype)
 
     from efficient_gnns_tpu.ops import dispatch
 
     if graph.blocking is not None and dispatch.pallas_enabled():
-        args = (x, w, graph.blocking, graph.t_blocking, graph.csc_perm)
-        if weight_grad:
+        blk, tblk = graph.blocking, graph.t_blocking
+        md, im = dispatch.message_dtype(), dispatch.interpret_mode()
+        if edge_weight is not None:  # runtime (differentiable) weights
             return _spmm_blocked(
-                *args, graph.senders, graph.receivers,
-                graph.num_nodes, dispatch.message_dtype(), dispatch.interpret_mode(),
+                x, edge_weight, blk, tblk, graph.csc_perm,
+                graph.senders, graph.receivers,
+                graph.num_nodes, md, im, weight_grad,
             )
-        return _spmm_blocked_nowg(
-            *args, graph.num_nodes, dispatch.message_dtype(),
-            dispatch.interpret_mode(),
-        )
+        if graph.edge_weight is not None:
+            if blk.w_blk is not None:  # static weights pre-blocked at build
+                return _spmm_blocked_static(x, blk, tblk, graph.num_nodes, md, im)
+            # blocking attached before weights: treat as runtime, no grad
+            return _spmm_blocked(
+                x, graph.edge_weight, blk, tblk, graph.csc_perm,
+                graph.senders, graph.receivers,
+                graph.num_nodes, md, im, False,
+            )
+        return _spmm_blocked_unweighted(x, blk, tblk, graph.num_nodes, md, im)
 
+    w = edge_weight if edge_weight is not None else graph.edge_weight
+    if w is None:
+        w = graph.edge_mask.astype(x.dtype)
     return _spmm(
         x,
         w,
@@ -227,6 +330,7 @@ def spmm(
 @partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _spmm_heads(x, w, senders, receivers, t_senders, t_receivers, csc_perm, num_nodes: int):
     # x: [N, H, D], w: [E, H] -> out [N, H, D]
+    x = jax.lax.optimization_barrier(x)  # keep the gather un-fused (see _after)
     msgs = gather(x, senders).astype(jnp.float32) * w[:, :, None].astype(jnp.float32)
     out = segment_sum(msgs, receivers, num_nodes, indices_are_sorted=True)
     return out.astype(x.dtype)
@@ -239,6 +343,7 @@ def _spmm_heads_fwd(x, w, senders, receivers, t_senders, t_receivers, csc_perm, 
 
 def _spmm_heads_bwd(num_nodes, res, g):
     x, w, senders, receivers, t_senders, t_receivers, csc_perm = res
+    g, x = jax.lax.optimization_barrier((g, x))  # see _after
     gf = g.astype(jnp.float32)
     msgs = gather(gf, receivers) * w[:, :, None].astype(jnp.float32)
     dx = segment_sum(
@@ -261,12 +366,21 @@ def _spmm_heads_bwd(num_nodes, res, g):
 _spmm_heads.defvjp(_spmm_heads_fwd, _spmm_heads_bwd)
 
 
+def _heads_w_blocked(w, blocking):
+    """[E, H] runtime head-weights into blocked order (one row gather)."""
+    mapping = blocking.csr_perm if blocking.csr_perm is not None else blocking.edge_id
+    return gather(w, jnp.minimum(mapping, w.shape[0] - 1))
+
+
 def _blocked_heads_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret):
     from efficient_gnns_tpu.ops.pallas import blocked_segment_sum
 
     n, h, d = x.shape
-    eid = jnp.minimum(blk.edge_id, w.shape[0] - 1)
-    msgs = gather(x, blk.src).astype(jnp.float32) * w[eid].astype(jnp.float32)[:, :, None]
+    x, w = jax.lax.optimization_barrier((x, w))  # see _after
+    x_blk = gather(x, blk.src).astype(jnp.float32)
+    x_blk, w = _after(x_blk, w)  # sequence gathers (see _after)
+    w_blk = _heads_w_blocked(w, blk)
+    msgs = x_blk * w_blk.astype(jnp.float32)[:, :, None]
     msgs, f = _pad_features(msgs.reshape(-1, h * d).astype(msg_dtype))
     out = blocked_segment_sum(msgs, blk, num_nodes, interpret=interpret)
     return out[:, : h * d].reshape(num_nodes, h, d).astype(x.dtype)
@@ -289,16 +403,24 @@ def _spmm_heads_blocked_bwd(num_nodes, msg_dtype, interpret, res, g):
 
     x, w, blk, tblk, csc_perm, senders, receivers = res
     n, h, d = x.shape
+    g, x = jax.lax.optimization_barrier((g, x))  # see _after
     gf = g.astype(jnp.float32)
-    w_csc = w[csc_perm].astype(jnp.float32)
-    eid = jnp.minimum(tblk.edge_id, w_csc.shape[0] - 1)
-    msgs = gather(gf, tblk.src) * w_csc[eid][:, :, None]
+    g_blk = gather(gf, tblk.src)
+    g_blk, w = _after(g_blk, w)  # sequence gathers (see _after)
+    if tblk.csr_perm is not None:
+        w_t = _heads_w_blocked(w, tblk).astype(jnp.float32)
+    else:
+        w_t = _heads_w_blocked(w[csc_perm], tblk).astype(jnp.float32)
+    msgs = g_blk * w_t[:, :, None]
     msgs, _ = _pad_features(msgs.reshape(-1, h * d).astype(msg_dtype))
     dx = blocked_segment_sum(msgs, tblk, num_nodes, interpret=interpret)
     dx = dx[:, : h * d].reshape(num_nodes, h, d).astype(x.dtype)
 
     valid = (receivers < num_nodes)[:, None]
-    dw = jnp.sum(gather(gf, receivers) * gather(x, senders).astype(jnp.float32), axis=-1)
+    w_t, gf, x = _after(w_t, gf, x)
+    gr = gather(gf, receivers)
+    gr, x = _after(gr, x)
+    dw = jnp.sum(gr * gather(x, senders).astype(jnp.float32), axis=-1)
     dw = jnp.where(valid, dw, 0.0).astype(w.dtype)
     return (
         dx, dw, _tree_float0(blk), _tree_float0(tblk),

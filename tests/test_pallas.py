@@ -129,6 +129,63 @@ def test_blocked_spmm_high_degree_node(rng):
     np.testing.assert_allclose(np.asarray(got), a @ np.asarray(x), rtol=1e-4, atol=1e-3)
 
 
+def test_choose_eb_minimizes_slots(rng):
+    from efficient_gnns_tpu.graphs.blocking import choose_eb
+
+    n = 64
+    r = rng.integers(0, n, size=5000)
+    eb = choose_eb(r, n, tm=32, candidates=(16, 64, 256))
+    # dense tiles (~2500 edges per tile): large blocks amortize step overhead
+    assert eb == 256
+    # one edge per tile: tiny blocks would add per-step overhead, huge ones
+    # waste slots; the model lands in between
+    r2 = np.arange(n)
+    assert choose_eb(r2, n, tm=32, candidates=(16, 64, 256)) == 64
+
+
+def test_blocked_sddmm_dw_kernel(rng):
+    from efficient_gnns_tpu.ops.pallas import blocked_sddmm_dw
+    from efficient_gnns_tpu.ops.segment import gather
+
+    g, (s, r) = _graph(rng, n=96, e=300, tm=32, eb=16)
+    blk = g.blocking
+    n, f = 96, 128
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    gg = jnp.asarray(rng.normal(size=(blk.num_tiles * 32, f)).astype(np.float32))
+    x_blk = gather(x, blk.src)
+    dw_blk = np.asarray(blocked_sddmm_dw(gg, x_blk, blk, interpret=True))
+    # reference: per-slot <g[dst_global], x[src]>, 0 on padding slots
+    dst_local = np.asarray(blk.dst_local).reshape(-1)
+    tile = np.asarray(blk.tile_idx).repeat(blk.eb)
+    src = np.asarray(blk.src)
+    real = dst_local < blk.tm
+    ref = np.zeros(blk.num_blocks * blk.eb, np.float32)
+    ref[real] = np.sum(
+        np.asarray(gg)[tile[real] * blk.tm + dst_local[real]]
+        * np.asarray(x)[src[real]],
+        axis=-1,
+    )
+    np.testing.assert_allclose(dw_blk, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_weight_grad_false_skips_dw(rng):
+    g, (s, r) = _graph(rng, n=80, e=250, tm=32, eb=16)
+    x = jnp.asarray(rng.normal(size=(80, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=g.num_edges_padded).astype(np.float32))
+    gw = jax.grad(
+        lambda w_: jnp.sum(ops.spmm(g, x, edge_weight=w_, weight_grad=False))
+    )(w)
+    np.testing.assert_array_equal(np.asarray(gw), 0.0)
+    # dx still correct vs XLA
+    gx1 = jax.grad(
+        lambda x_: jnp.sum(ops.spmm(g, x_, edge_weight=w, weight_grad=False) ** 2)
+    )(x)
+    dispatch.set_backend("xla")
+    gx2 = jax.grad(lambda x_: jnp.sum(ops.spmm(g, x_, edge_weight=w) ** 2))(x)
+    dispatch.set_backend("pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-4)
+
+
 def test_blocked_spmm_heads_matches_xla(rng):
     g, (s, r) = _graph(rng, n=100, e=350, tm=32, eb=16)
     n, h, d = 100, 3, 4
