@@ -1,3 +1,4 @@
+from efficient_gnns_tpu.analysis.curves import plot_curves
 from efficient_gnns_tpu.analysis.correlation import (
     edge_cosine_distance,
     linear_cka,
@@ -7,6 +8,7 @@ from efficient_gnns_tpu.analysis.correlation import (
 )
 
 __all__ = [
+    "plot_curves",
     "edge_cosine_distance",
     "linear_cka",
     "mantel_correlation",

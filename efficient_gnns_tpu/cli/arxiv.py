@@ -35,7 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--training",
         type=str,
         default="supervised",
-        choices=["supervised", "kd", "fitnet", "at", "gpw", "lpw", "nce", "gcd"],
+        choices=["supervised", "kd", "fitnet", "at", "gpw", "lpw", "nce", "gcd",
+                 "nce-labels", "nce-edges", "nce-labels-edges"],
     )
     p.add_argument("--kd_and_aux", action="store_true")
     p.add_argument("--device", type=int, default=0)
@@ -66,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", type=str, default="logs")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard event files")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="save full training state every N epochs (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume each run from its checkpoint if present")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
@@ -123,7 +128,7 @@ def main(argv=None):
     )
 
     lsp_graph = None
-    if args.training == "lpw":
+    if args.training == "lpw" or args.training.endswith("edges"):
         lsp_graph = induced_subgraph(
             ds.senders, ds.receivers, ds.split_idx["train"]
         )
@@ -168,8 +173,13 @@ def main(argv=None):
             f"seed{seed}",
         )
         writer = MetricsWriter(run_dir, tensorboard=args.tensorboard)
+        ckpt_path = os.path.join(run_dir, "checkpoint.msgpack")
+        start_epoch = 1
+        if args.resume and os.path.exists(ckpt_path):
+            start_epoch = trainer.restore_checkpoint(ckpt_path) + 1
+            print(f"Run {run + 1:02d}: resumed from {ckpt_path} at epoch {start_epoch}")
         t0 = time.time()
-        for epoch in range(1, args.epochs + 1):
+        for epoch in range(start_epoch, args.epochs + 1):
             metrics = trainer.train_epoch(epoch)
             _, accs = trainer.evaluate()
             logger.add_result(run, accs)
@@ -189,6 +199,10 @@ def main(argv=None):
                     f"aux {metrics['loss_aux']:.4f}) "
                     f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}"
                 )
+            if args.checkpoint_every and epoch % args.checkpoint_every == 0:
+                trainer.save_checkpoint(ckpt_path)
+        if args.checkpoint_every:
+            trainer.save_checkpoint(ckpt_path)
         writer.close()
         logger.print_statistics(run)
         results.append(

@@ -25,7 +25,7 @@ from efficient_gnns_tpu.graphs.blocking import EdgeBlocking
 
 
 def _accumulate(first_ref, out_ref, partial):
-    i = pl.program_id(0)
+    i = pl.program_id(1)  # grid is (feature_tiles, edge_blocks)
 
     @pl.when(first_ref[i] == 1)
     def _():
@@ -75,6 +75,17 @@ def _kernel_scaled(tile_ref, first_ref, dst_ref, w_ref, msgs_ref, out_ref, *, eb
     _accumulate(first_ref, out_ref, _onehot_dot(dst, msgs, eb, tm))
 
 
+def _feature_tile(f: int, eb: int, tm: int, itemsize: int) -> int:
+    """Largest 128-multiple divisor of ``f`` whose working set (msgs block +
+    out tile, with Mosaic's multi-buffering headroom) fits in VMEM."""
+    budget = 10 * 1024 * 1024  # bytes, conservative vs the 16 MB VMEM
+    for k in range(f // 128, 0, -1):
+        ft = k * 128
+        if f % ft == 0 and 2 * (eb * ft * itemsize + tm * ft * 4) <= budget:
+            return ft
+    return 128
+
+
 def blocked_segment_sum(
     msgs: jnp.ndarray,  # [nb*EB, F] blocked edge messages (bf16 or f32)
     blocking: EdgeBlocking,
@@ -101,20 +112,25 @@ def blocked_segment_sum(
     prefetch = (blocking.tile_idx, blocking.first_flag)
     dst = blocking.dst_local.reshape(nb, 1, eb)
     out_shape = jax.ShapeDtypeStruct((blocking.num_tiles, tm, f), jnp.float32)
+    # feature-tile grid axis keeps wide features within VMEM; it is the
+    # OUTER grid dim so consecutive steps walk edge blocks of one f-tile and
+    # shared output tiles stay resident between accumulating steps
+    ft = _feature_tile(f, eb, tm, msgs.dtype.itemsize)
     out_spec = pl.BlockSpec(
-        (1, tm, f), lambda i, tile_ref, first_ref: (tile_ref[i], 0, 0)
+        (1, tm, ft), lambda j, i, tile_ref, first_ref: (tile_ref[i], 0, j)
     )
     # [nb, 1, EB] blocks so the trailing block dims equal the array dims
     # (TPU lowering requires (8,128)-divisible or full-dim blocks)
-    slot_spec = pl.BlockSpec((1, 1, eb), lambda i, tile_ref, first_ref: (i, 0, 0))
-    msgs_spec = pl.BlockSpec((eb, f), lambda i, tile_ref, first_ref: (i, 0))
+    slot_spec = pl.BlockSpec((1, 1, eb), lambda j, i, tile_ref, first_ref: (i, 0, 0))
+    msgs_spec = pl.BlockSpec((eb, ft), lambda j, i, tile_ref, first_ref: (i, j))
+    grid = (f // ft, nb)
 
     if w is None:
         out = pl.pallas_call(
             functools.partial(_kernel, eb=eb, tm=tm),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(nb,),
+                grid=grid,
                 in_specs=[slot_spec, msgs_spec],
                 out_specs=out_spec,
             ),
@@ -127,7 +143,7 @@ def blocked_segment_sum(
             functools.partial(_kernel_scaled, eb=eb, tm=tm),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(nb,),
+                grid=grid,
                 in_specs=[slot_spec, slot_spec, msgs_spec],
                 out_specs=out_spec,
             ),

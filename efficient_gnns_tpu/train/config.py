@@ -57,7 +57,9 @@ class DistillConfig:
     teacher_dim: int = 750
 
     def needs_mlp_proj(self) -> bool:
-        return self.training in ("fitnet", "gpw", "nce")
+        return self.training in (
+            "fitnet", "gpw", "nce", "nce-labels", "nce-edges", "nce-labels-edges",
+        )
 
     def needs_gcd_proj(self) -> bool:
         return self.training == "gcd"

@@ -74,10 +74,10 @@ class NodeDistillTrainer:
 
         if config.needs_teacher():
             assert teacher_logits is not None, "mode requires teacher logits"
-        if config.training in ("fitnet", "at", "gpw", "lpw", "nce", "gcd"):
+        if config.training not in ("supervised", "kd"):
             assert teacher_feat is not None, "mode requires teacher features"
-        if config.training == "lpw":
-            assert lsp_graph is not None, "lpw requires the train subgraph"
+        if config.training == "lpw" or config.training.endswith("edges"):
+            assert lsp_graph is not None, "mode requires the train subgraph"
 
         self.sproj = self.tproj = None
         if config.needs_mlp_proj():
@@ -213,6 +213,16 @@ class NodeDistillTrainer:
                     loss_aux = criteria.nce_term(
                         sf, tf, cfg.nce_T, key=k_sample, max_samples=cfg.max_samples
                     )
+                elif mode in ("nce-labels", "nce-edges", "nce-labels-edges"):
+                    # working extensions of the reference's unreleased modes
+                    # (arxiv_pyg/gnn.py:149-177 — NameError in the reference)
+                    sf, tf = mlp_projected()
+                    loss_aux = criteria.nce_term_structured(
+                        sf, tf, cfg.nce_T, key=k_sample,
+                        max_samples=cfg.max_samples,
+                        labels=labels if "labels" in mode else None,
+                        graph=lsp_graph if "edges" in mode else None,
+                    )
                 elif mode == "gcd":
                     sf, tf = gcd_projected()
                     loss_aux = criteria.nce_term(
@@ -281,3 +291,20 @@ class NodeDistillTrainer:
     def evaluate(self) -> Tuple[jnp.ndarray, Tuple[float, float, float]]:
         logits, accs = self._eval_step(self.state.params, self.state.batch_stats)
         return logits, tuple(float(a) for a in accs)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (the reference only ever saves —
+    # arxiv_pyg/gnn.py:371-381; resume is a deliberate improvement)
+
+    def save_checkpoint(self, path: str) -> str:
+        from efficient_gnns_tpu.train.checkpoint import save_pytree
+
+        return save_pytree(path, self.state)
+
+    def restore_checkpoint(self, path: str) -> int:
+        """Restore full training state (params, BN stats, optimizer, step).
+        Returns the restored step count (epochs already trained)."""
+        from efficient_gnns_tpu.train.checkpoint import load_pytree
+
+        self.state = load_pytree(path, self.state)
+        return int(self.state.step)

@@ -194,3 +194,41 @@ def test_nce_masked_excludes_padding(rng):
     tn_ = F.normalize(torch.tensor(t[order]), p=2, dim=-1)
     ref = F.cross_entropy(fn_ @ tn_.T / 0.1, torch.arange(6))
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_nce_structured_multipositive(rng):
+    # label- and edge-conditioned InfoNCE (reference modes nce-labels/-edges
+    # are dead code there; implemented as working extensions here)
+    from efficient_gnns_tpu.graphs import build_graph
+
+    n, d = 8, 5
+    f = _rand(rng, n, d)
+    t = _rand(rng, n, d)
+    labels = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    s = np.array([0, 2, 4])
+    r = np.array([5, 6, 7])
+    g = build_graph(s, r, n, edge_pad_multiple=8)
+    nce_T = 0.1
+
+    got = distill.nce_term_structured(
+        jnp.asarray(f), jnp.asarray(t), nce_T,
+        labels=jnp.asarray(labels), graph=g,
+    )
+
+    fn_ = F.normalize(torch.tensor(f), p=2, dim=-1)
+    tn_ = F.normalize(torch.tensor(t), p=2, dim=-1)
+    logp = torch.log_softmax(fn_ @ tn_.T / nce_T, dim=-1).numpy()
+    pos = np.eye(n, dtype=bool)
+    pos |= labels[:, None] == labels[None, :]
+    for a, b in zip(s, r):
+        pos[b, a] = True  # receiver row, sender column
+    ref = -np.mean([logp[i][pos[i]].mean() for i in range(n)])
+    np.testing.assert_allclose(float(got), ref, rtol=1e-4)
+
+
+def test_nce_structured_diag_only_matches_nce(rng):
+    f = _rand(rng, 9, 6)
+    t = _rand(rng, 9, 6)
+    a = distill.nce_term(jnp.asarray(f), jnp.asarray(t), 0.075)
+    b = distill.nce_term_structured(jnp.asarray(f), jnp.asarray(t), 0.075)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)

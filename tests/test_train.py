@@ -93,3 +93,54 @@ def test_logger_best_val_selection():
     assert s0["best_epoch"] == 1 and s0["final_test"] == 0.66
     s = lg.statistics()
     np.testing.assert_allclose(s["final_test_mean"], (0.66 + 0.60) / 2)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+    from efficient_gnns_tpu.data import synthetic_node_dataset
+    from efficient_gnns_tpu.models import GCN
+    from efficient_gnns_tpu.train import DistillConfig, NodeDistillTrainer
+
+    ds = synthetic_node_dataset(num_nodes=200, num_edges=800, feat_dim=16,
+                                num_classes=4, seed=0)
+    tl = np.full((200, 4), -2.0, np.float32)
+    tl[np.arange(200), ds.y] = 4.0
+    cfg = DistillConfig(training="kd", epochs=2, hidden=8, num_layers=2)
+
+    def make():
+        return NodeDistillTrainer(
+            GCN(hidden=8, out_feats=4, num_layers=2), cfg,
+            ds.graph, ds.x, ds.y, ds.split_idx,
+            teacher_logits=jnp.asarray(tl), seed=0,
+        )
+
+    a = make()
+    a.train_epoch(1)
+    a.train_epoch(2)
+    path = str(tmp_path / "ck.msgpack")
+    a.save_checkpoint(path)
+    logits_a, _ = a.evaluate()
+
+    b = make()
+    step = b.restore_checkpoint(path)
+    assert step == 2
+    logits_b, _ = b.evaluate()
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b))
+    # training continues from the restored optimizer state identically
+    a.train_epoch(3); b.train_epoch(3)
+    la, _ = a.evaluate(); lb, _ = b.evaluate()
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
+def test_plot_curves(tmp_path):
+    from efficient_gnns_tpu.train.metrics import MetricsWriter
+    from efficient_gnns_tpu.analysis import plot_curves
+
+    d = str(tmp_path / "run")
+    w = MetricsWriter(d)
+    for e in range(1, 4):
+        w.write(e, {"loss/train": 1.0 / e, "acc/valid": 0.2 * e})
+    w.close()
+    out = plot_curves(d)
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 0
