@@ -69,13 +69,16 @@ def main(argv=None):
     if args.dataset == "synthetic":
         from efficient_gnns_tpu.data import synthetic_node_dataset
 
+        # hub_dense=0: GAT attention needs runtime edge weights over the
+        # full blocked edge set (graphs/hub_dense.py module docs)
         ds = synthetic_node_dataset(
-            num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42
+            num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42,
+            hub_dense=0,
         )
     else:
         from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
 
-        ds = load_ogbn_arxiv()
+        ds = load_ogbn_arxiv(hub_dense=0)
 
     cfg = TeacherConfig(
         n_hidden=args.n_hidden,

@@ -15,7 +15,9 @@ from efficient_gnns_tpu.data.synthetic import NodeDataset
 from efficient_gnns_tpu.graphs.preprocess import build_graph, gcn_norm_weights
 
 
-def load_ogbn_arxiv(root: str = "dataset") -> NodeDataset:
+def load_ogbn_arxiv(root: str = "dataset", hub_dense="auto") -> NodeDataset:
+    """ogbn-arxiv with Pallas blockings; ``hub_dense=0`` for graphs that
+    will carry runtime (attention) edge weights."""
     try:
         from ogb.nodeproppred import NodePropPredDataset
     except ImportError as e:  # pragma: no cover - environment-dependent
@@ -33,7 +35,10 @@ def load_ogbn_arxiv(root: str = "dataset") -> NodeDataset:
     x = graph_dict["node_feat"].astype(np.float32)
     y = labels.reshape(-1).astype(np.int32)
 
-    graph = build_graph(s, r, num_nodes, bidirected=True, self_loops=True)
+    graph = build_graph(
+        s, r, num_nodes, bidirected=True, self_loops=True,
+        block=True, hub_dense=hub_dense,
+    )
     graph = gcn_norm_weights(graph)
     return NodeDataset(
         graph=graph,

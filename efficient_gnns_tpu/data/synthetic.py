@@ -53,8 +53,13 @@ def synthetic_node_dataset(
     label_smoothing_hops: int = 2,
     pad_nodes_to: Optional[int] = None,
     block: bool = True,
+    hub_dense="auto",
 ) -> NodeDataset:
-    """ogbn-arxiv-shaped synthetic dataset (defaults = real arxiv sizes)."""
+    """ogbn-arxiv-shaped synthetic dataset (defaults = real arxiv sizes).
+
+    ``hub_dense``: forwarded to :func:`build_graph` — pass 0 when the graph
+    will carry runtime (attention) edge weights, e.g. the GAT teacher.
+    """
     rng = np.random.default_rng(seed)
     s, r = _powerlaw_edges(rng, num_nodes, num_edges)
 
@@ -82,6 +87,7 @@ def synthetic_node_dataset(
         bidirected=True, self_loops=True,
         pad_nodes_to=pad_nodes_to,
         block=block,
+        hub_dense=hub_dense,
     )
     graph = gcn_norm_weights(graph)
     if pad_nodes_to is not None and pad_nodes_to > num_nodes:

@@ -1,4 +1,10 @@
 from efficient_gnns_tpu.graphs.container import Graph, BatchedGraphs
+from efficient_gnns_tpu.graphs.hub_dense import (
+    HubDense,
+    build_hub_dense,
+    hub_contribution,
+    refresh_hub_weights,
+)
 from efficient_gnns_tpu.graphs.preprocess import (
     build_graph,
     to_bidirected,
@@ -10,6 +16,10 @@ from efficient_gnns_tpu.graphs.preprocess import (
 __all__ = [
     "Graph",
     "BatchedGraphs",
+    "HubDense",
+    "build_hub_dense",
+    "hub_contribution",
+    "refresh_hub_weights",
     "build_graph",
     "to_bidirected",
     "add_self_loops",

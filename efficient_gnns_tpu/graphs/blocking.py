@@ -102,6 +102,12 @@ def attach_blocking(graph, tm: int = 256, eb: int = None):
     prefer ``build_graph(..., block=True)`` which blocks before upload
     (device->host readback through a TPU tunnel can dominate otherwise).
     """
+    if graph.hub is not None:
+        raise ValueError(
+            "graph carries a hub-dense decomposition whose blockings cover "
+            "only residual edges; re-blocking the full edge list would "
+            "double-count the hub edges. Rebuild with build_graph(block=True)."
+        )
     receivers = np.asarray(graph.receivers)
     if eb is None:
         eb = choose_eb(receivers, graph.num_nodes, tm)
@@ -144,7 +150,8 @@ def _reblock(blocking: EdgeBlocking, w_csr: jnp.ndarray, e_pad: int) -> EdgeBloc
 
 
 def attach_blocked_weights(graph):
-    """Refresh ``w_blk`` on both blockings from ``graph.edge_weight``.
+    """Refresh every static-weight cache from ``graph.edge_weight``:
+    ``w_blk`` on both blockings and the hub-dense slices (if present).
 
     One-time per graph (a scalar gather is latency-bound on TPU, ~20 ms for
     2M edges — fine at build time, fatal per training step; the blocked
@@ -156,9 +163,15 @@ def attach_blocked_weights(graph):
     w = graph.edge_weight
     tblk = graph.t_blocking
     w_for_t = w if tblk.csr_perm is not None else w[graph.csc_perm]
+    hub = graph.hub
+    if hub is not None:
+        from efficient_gnns_tpu.graphs.hub_dense import refresh_hub_weights
+
+        hub = refresh_hub_weights(hub, w)
     return graph.replace(
         blocking=_reblock(graph.blocking, w, e_pad),
         t_blocking=_reblock(tblk, w_for_t, e_pad),
+        hub=hub,
     )
 
 

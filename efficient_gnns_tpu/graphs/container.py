@@ -75,9 +75,12 @@ class Graph:
     n_edge: jnp.ndarray
     edge_weight: Optional[jnp.ndarray] = None
     edge_type: Optional[jnp.ndarray] = None
-    # Pallas kernel edge blockings (graphs/blocking.py); None -> XLA path
+    # Pallas kernel edge blockings (graphs/blocking.py); None -> XLA path.
+    # When ``hub`` is set the blockings cover only the residual edges.
     blocking: Optional[object] = None
     t_blocking: Optional[object] = None
+    # Hub-dense adjacency slices (graphs/hub_dense.py); None -> pure sparse
+    hub: Optional[object] = None
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_edge_types: int = struct.field(pytree_node=False, default=0)
 
@@ -136,6 +139,7 @@ class Graph:
             else self.edge_type[self.csc_perm],
             blocking=self.t_blocking,
             t_blocking=self.blocking,
+            hub=None if self.hub is None else self.hub.transpose(),
             num_nodes=self.num_nodes,
             num_edge_types=self.num_edge_types,
         )

@@ -75,6 +75,7 @@ def build_graph(
     block: bool = False,
     block_tm: int = 256,
     block_eb: Optional[int] = None,
+    hub_dense="auto",
 ) -> Graph:
     """Build a device-ready :class:`Graph` from a raw COO edge list.
 
@@ -90,6 +91,13 @@ def build_graph(
         when the node set itself is padded.
       block: also build the Pallas edge blockings (graphs/blocking.py) from
         the host arrays before device upload.
+      hub_dense: hub width for the hub-dense adjacency decomposition
+        (graphs/hub_dense.py) — static-weight SpMM then runs the hub edges
+        as dense MXU matmuls and only the residual edges through the
+        blocked scatter. ``"auto"`` (default) enables width 256 for large
+        graphs that fit the HBM budget; 0 disables. Only takes effect with
+        ``block=True``. Build graphs that need *runtime* edge weights
+        (GAT attention) with ``hub_dense=0``.
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
@@ -142,23 +150,76 @@ def build_graph(
         et = np.full(e_pad, num_edge_types, dtype=np.int32)
         et[:e] = np.asarray(edge_type, dtype=np.int32)[csr_order]
 
-    blocking = t_blocking = None
+    blocking = t_blocking = hub = None
     if block:
         from efficient_gnns_tpu.graphs.blocking import build_blocking, choose_eb
+        from efficient_gnns_tpu.graphs.hub_dense import (
+            auto_hub_size,
+            build_hub_dense,
+        )
+
+        ew_host = None if ew is None else np.asarray(ew)
+        h = auto_hub_size(n_pad, e) if hub_dense == "auto" else int(hub_dense)
+        if h > 0:
+            # Hub edges become dense MXU slices; only the residual edge set
+            # gets blocked for the gather + one-hot-scatter path.
+            hub, res_mask = build_hub_dense(
+                s_csr, r_csr, num_nodes, n_pad, h_src=h, h_dst=h,
+                edge_weight=None if ew_host is None else ew_host[:e],
+            )
+            res_ids = np.nonzero(res_mask)[0].astype(np.int64)
+            s_b, r_b = s_csr[res_ids], r_csr[res_ids]  # still receiver-sorted
+            e_b = s_b.shape[0]
+            e_b_pad = pad_length(e_b, edge_pad_multiple)
+            perm_b = _native.lexsort_edges(r_b, s_b, num_nodes)
+            t_s_b, t_r_b = r_b[perm_b], s_b[perm_b]
+            # map residual-local edge order -> full CSR order, so weight
+            # refreshes (attach_blocked_weights) read the graph's CSR-ordered
+            # edge_weight directly
+            order_fwd = res_ids
+            order_t = res_ids[perm_b]
+            ew_b = None if ew_host is None else ew_host[:e][res_ids]
+            ew_t_b = None if ew_b is None else ew_b[perm_b]
+        else:
+            s_b, r_b, t_s_b, t_r_b = s_csr, r_csr, t_s, t_r
+            e_b, e_b_pad = e, e_pad
+            order_fwd = None
+            order_t = pad_perm
+            ew_b = ew_host
+            ew_t_b = None if ew_host is None else ew_host[pad_perm]
+
+        def _pad_b(a: np.ndarray) -> np.ndarray:
+            out = np.full(e_b_pad, n_pad, dtype=np.int32)
+            out[:e_b] = a
+            return out
+
+        def _pad_order(o) -> Optional[np.ndarray]:
+            if o is None:
+                return None
+            out = np.full(e_b_pad, e_pad, dtype=np.int32)
+            out[: min(e_b, o.shape[0])] = o[:e_b]
+            return out
+
+        def _pad_w(wv) -> Optional[np.ndarray]:
+            if wv is None:
+                return None
+            out = np.zeros(e_b_pad, dtype=np.float32)
+            out[: min(e_b, wv.shape[0])] = wv[:e_b]
+            return out
 
         eb = block_eb if block_eb is not None else choose_eb(
-            _pad_idx(r_csr), n_pad, block_tm
+            _pad_b(r_b), n_pad, block_tm
         )
-        ew_host = None if ew is None else np.asarray(ew)
         blocking = build_blocking(
-            _pad_idx(s_csr), _pad_idx(r_csr), n_pad, e_pad,
-            tm=block_tm, eb=eb, edge_weight=ew_host,
+            _pad_b(s_b), _pad_b(r_b), n_pad, e_b_pad,
+            tm=block_tm, eb=eb, edge_weight=_pad_w(ew_b),
+            order_to_csr=_pad_order(order_fwd),
         )
         t_blocking = build_blocking(
-            _pad_idx(t_s), _pad_idx(t_r), n_pad, e_pad,
+            _pad_b(t_s_b), _pad_b(t_r_b), n_pad, e_b_pad,
             tm=block_tm, eb=eb,
-            edge_weight=None if ew_host is None else ew_host[pad_perm],
-            order_to_csr=pad_perm,
+            edge_weight=_pad_w(ew_t_b),
+            order_to_csr=_pad_order(order_t),
         )
 
     return Graph(
@@ -177,6 +238,7 @@ def build_graph(
         edge_type=et if et is None else jnp.asarray(et),
         blocking=blocking,
         t_blocking=t_blocking,
+        hub=hub,
         num_nodes=n_pad,
         num_edge_types=int(num_edge_types),
     )

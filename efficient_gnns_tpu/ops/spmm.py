@@ -292,24 +292,43 @@ def spmm(
     from efficient_gnns_tpu.ops import dispatch
 
     if graph.blocking is not None and dispatch.pallas_enabled():
+        from efficient_gnns_tpu.graphs.hub_dense import hub_contribution
+
         blk, tblk = graph.blocking, graph.t_blocking
         md, im = dispatch.message_dtype(), dispatch.interpret_mode()
+        hub = graph.hub
         if edge_weight is not None:  # runtime (differentiable) weights
-            return _spmm_blocked(
-                x, edge_weight, blk, tblk, graph.csc_perm,
-                graph.senders, graph.receivers,
-                graph.num_nodes, md, im, weight_grad,
-            )
-        if graph.edge_weight is not None:
+            if hub is None:
+                return _spmm_blocked(
+                    x, edge_weight, blk, tblk, graph.csc_perm,
+                    graph.senders, graph.receivers,
+                    graph.num_nodes, md, im, weight_grad,
+                )
+            # hub graphs block only residual edges and cache static weights
+            # densely — per-step weights can't ride that layout; take the
+            # full-edge XLA path (build such graphs with hub_dense=0).
+        elif graph.edge_weight is not None:
             if blk.w_blk is not None:  # static weights pre-blocked at build
-                return _spmm_blocked_static(x, blk, tblk, graph.num_nodes, md, im)
-            # blocking attached before weights: treat as runtime, no grad
-            return _spmm_blocked(
-                x, graph.edge_weight, blk, tblk, graph.csc_perm,
-                graph.senders, graph.receivers,
-                graph.num_nodes, md, im, False,
-            )
-        return _spmm_blocked_unweighted(x, blk, tblk, graph.num_nodes, md, im)
+                out = _spmm_blocked_static(x, blk, tblk, graph.num_nodes, md, im)
+                if hub is not None:
+                    out = (out.astype(jnp.float32) + hub_contribution(hub, x)
+                           ).astype(x.dtype)
+                return out
+            if hub is None:
+                # blocking attached before weights: treat as runtime, no grad
+                return _spmm_blocked(
+                    x, graph.edge_weight, blk, tblk, graph.csc_perm,
+                    graph.senders, graph.receivers,
+                    graph.num_nodes, md, im, False,
+                )
+            # hub slices not refreshed for these weights (see
+            # attach_blocked_weights) — fall through to the XLA path.
+        else:
+            out = _spmm_blocked_unweighted(x, blk, tblk, graph.num_nodes, md, im)
+            if hub is not None:
+                out = (out.astype(jnp.float32) + hub_contribution(hub, x)
+                       ).astype(x.dtype)
+            return out
 
     w = edge_weight if edge_weight is not None else graph.edge_weight
     if w is None:
@@ -441,7 +460,9 @@ def spmm_heads(graph: Graph, x: jnp.ndarray, edge_weight: jnp.ndarray) -> jnp.nd
     """
     from efficient_gnns_tpu.ops import dispatch
 
-    if graph.blocking is not None and dispatch.pallas_enabled():
+    # hub graphs block only residual edges — per-step head weights need the
+    # full edge set, so they take the XLA path (build GAT graphs hub_dense=0)
+    if graph.blocking is not None and graph.hub is None and dispatch.pallas_enabled():
         return _spmm_heads_blocked(
             x, edge_weight, graph.blocking, graph.t_blocking, graph.csc_perm,
             graph.senders, graph.receivers,

@@ -204,3 +204,90 @@ def test_blocked_spmm_heads_matches_xla(rng):
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+# ---- hub-dense decomposition (graphs/hub_dense.py) --------------------------
+
+
+def _hub_graph(rng, n=120, e=800, hub=8, w=None, tm=32, eb=16):
+    """Power-law-ish graph built with the hub-dense split enabled."""
+    # zipf-ish senders so hubs actually cover edges
+    s = (rng.zipf(1.5, size=e) % n).astype(np.int64)
+    r = rng.integers(0, n, size=e)
+    g = build_graph(
+        s, r, n, edge_weight=w, edge_pad_multiple=64,
+        block=True, block_tm=tm, block_eb=eb, hub_dense=hub,
+    )
+    return g, (s, r)
+
+
+def test_hub_dense_partition_covers_all_edges(rng):
+    g, (s, r) = _hub_graph(rng)
+    assert g.hub is not None
+    n_hub = g.hub.src_eids.shape[0] + g.hub.dst_eids.shape[0]
+    blk = g.blocking
+    n_res = int(np.sum(np.asarray(blk.dst_local).reshape(-1) < blk.tm))
+    assert n_hub + n_res == len(s)
+    # dense slices hold edge multiplicities when unweighted
+    assert float(jnp.sum(g.hub.m_src) + jnp.sum(g.hub.m_dst)) == n_hub
+
+
+def test_hub_spmm_matches_dense(rng):
+    n, e = 120, 800
+    w = rng.normal(size=e).astype(np.float32)
+    g, (s, r) = _hub_graph(rng, n=n, e=e, w=w)
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    a = dense_adj(s, r, n, w.astype(np.float64))
+    got = ops.spmm(g, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), a @ x, rtol=1e-4, atol=1e-4)
+    # transpose path swaps the hub contraction dims
+    got_t = ops.spmm(g, jnp.asarray(x), transpose=True)
+    np.testing.assert_allclose(np.asarray(got_t), a.T @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_hub_spmm_unweighted_and_grad(rng):
+    n, e = 120, 800
+    g, (s, r) = _hub_graph(rng, n=n, e=e)
+    a = dense_adj(s, r, n)
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    got = ops.spmm(g, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), a @ x, rtol=1e-4, atol=1e-4)
+    gx = jax.grad(lambda x_: jnp.sum(jnp.cos(ops.spmm(g, x_))))(jnp.asarray(x))
+    xt = jnp.asarray(x)
+    eps = 1e-3
+    # directional finite difference
+    v = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    f = lambda x_: float(jnp.sum(jnp.cos(ops.spmm(g, x_))))
+    num = (f(xt + eps * v) - f(xt - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(gx, v)), num, rtol=1e-2, atol=1e-2)
+
+
+def test_hub_weights_refresh_via_gcn_norm(rng):
+    from efficient_gnns_tpu.graphs import gcn_norm_weights
+
+    n, e = 120, 800
+    g, (s, r) = _hub_graph(rng, n=n, e=e)
+    g = gcn_norm_weights(g)
+    deg = np.maximum(dense_adj(s, r, n).sum(axis=1), 1.0)  # in-degree
+    outd = np.maximum(dense_adj(s, r, n).sum(axis=0), 1.0)
+    # reference: w_e = d_r^-1/2 d_s^-1/2 over in-degrees of both endpoints
+    din = dense_adj(s, r, n).sum(axis=1)
+    inv = np.where(din > 0, 1.0 / np.sqrt(np.maximum(din, 1.0)), 0.0)
+    a = dense_adj(s, r, n, (inv[r] * inv[s]).astype(np.float64))
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    got = ops.spmm(g, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), a @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_hub_graph_runtime_weights_fall_back_correctly(rng):
+    n, e = 120, 800
+    g, (s, r) = _hub_graph(rng, n=n, e=e)
+    w = jnp.asarray(rng.normal(size=g.num_edges_padded).astype(np.float32))
+    w = jnp.where(g.edge_mask, w, 0.0)
+    # w is in the graph's receiver-sorted edge order
+    s_srt = np.asarray(g.senders)[: len(s)]
+    r_srt = np.asarray(g.receivers)[: len(s)]
+    a = dense_adj(s_srt, r_srt, n, np.asarray(w)[: len(s)].astype(np.float64))
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    got = ops.spmm(g, jnp.asarray(x), edge_weight=w)
+    np.testing.assert_allclose(np.asarray(got), a @ x, rtol=1e-4, atol=1e-4)
