@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from efficient_gnns_tpu.data.synthetic import NodeDataset
-from efficient_gnns_tpu.graphs.preprocess import build_graph, gcn_norm_weights
+from efficient_gnns_tpu.graphs.preprocess import build_graph
 
 
 def load_ogbn_arxiv(root: str = "dataset", hub_dense="auto") -> NodeDataset:
@@ -37,9 +37,8 @@ def load_ogbn_arxiv(root: str = "dataset", hub_dense="auto") -> NodeDataset:
 
     graph = build_graph(
         s, r, num_nodes, bidirected=True, self_loops=True,
-        block=True, hub_dense=hub_dense,
+        block=True, hub_dense=hub_dense, gcn_norm=True,
     )
-    graph = gcn_norm_weights(graph)
     return NodeDataset(
         graph=graph,
         x=x,

@@ -18,7 +18,7 @@ from typing import Dict, NamedTuple, Optional
 import numpy as np
 
 from efficient_gnns_tpu.graphs.container import Graph
-from efficient_gnns_tpu.graphs.preprocess import build_graph, gcn_norm_weights
+from efficient_gnns_tpu.graphs.preprocess import build_graph
 
 
 class NodeDataset(NamedTuple):
@@ -88,8 +88,8 @@ def synthetic_node_dataset(
         pad_nodes_to=pad_nodes_to,
         block=block,
         hub_dense=hub_dense,
+        gcn_norm=True,
     )
-    graph = gcn_norm_weights(graph)
     if pad_nodes_to is not None and pad_nodes_to > num_nodes:
         x = np.concatenate(
             [x, np.zeros((pad_nodes_to - num_nodes, feat_dim), np.float32)]

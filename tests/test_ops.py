@@ -216,6 +216,26 @@ def test_gcn_norm_weights(rng):
     assert np.all(w[ne:] == 0)
 
 
+def test_gcn_norm_host_path_matches(rng):
+    """build_graph(gcn_norm=True) == gcn_norm_weights(build_graph(...)),
+    including the pre-blocked weight layouts (w_blk on both blockings)."""
+    n, e = 50, 180
+    s = rng.integers(0, n, size=e)
+    r = rng.integers(0, n, size=e)
+    kw = dict(bidirected=True, self_loops=True, edge_pad_multiple=16,
+              block=True, block_tm=16, block_eb=16, hub_dense=0)
+    g_host = build_graph(s, r, n, gcn_norm=True, **kw)
+    g_dev = gcn_norm_weights(build_graph(s, r, n, **kw))
+    np.testing.assert_allclose(
+        np.asarray(g_host.edge_weight), np.asarray(g_dev.edge_weight), rtol=1e-6
+    )
+    for a, b in ((g_host.blocking, g_dev.blocking),
+                 (g_host.t_blocking, g_dev.t_blocking)):
+        np.testing.assert_allclose(
+            np.asarray(a.w_blk), np.asarray(b.w_blk), rtol=1e-6
+        )
+
+
 def test_graph_transpose_roundtrip(rng):
     g, (s, r) = random_graph(rng, 14, 33)
     x = jnp.asarray(rng.normal(size=(14, 4)).astype(np.float32))
