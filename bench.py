@@ -47,10 +47,15 @@ def main():
     print(f"graph built in {time.time() - t0:.1f}s: {NUM_NODES} nodes, "
           f"{e_real} edges (padded {graph.num_edges_padded})", file=sys.stderr)
 
-    x = jnp.asarray(ds.x)
+    # Graph and features are jit ARGUMENTS (the Graph container is a pytree),
+    # never closure constants: baking multi-MB index arrays into the XLA
+    # program as constants bloats the compile payload (and exceeds the
+    # remote-compile request limit on tunneled TPU backends).
+    graph = jax.device_put(graph)
+    x = jax.device_put(jnp.asarray(ds.x))
 
     @jax.jit
-    def fwd_bwd(x):
+    def fwd_bwd(graph, x):
         # GCN training shape: static normalized adjacency (pre-blocked
         # weights), gradient w.r.t. node features only
         def f(x):
@@ -61,13 +66,13 @@ def main():
 
     # warmup/compile
     t0 = time.time()
-    out = fwd_bwd(x)
+    out = fwd_bwd(graph, x)
     jax.block_until_ready(out)
     print(f"compile+first-run {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(ITERS):
-        out = fwd_bwd(x)
+        out = fwd_bwd(graph, x)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / ITERS
 
