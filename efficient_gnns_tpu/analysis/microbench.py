@@ -1,0 +1,95 @@
+"""Micro-benchmark utilities for tunneled TPU backends.
+
+Two problems make naive timing on a remote/tunneled TPU dishonest:
+
+* dispatch is asynchronous and the relay may cache (program, args) pairs —
+  looping ``f(x)`` with identical arguments can report ~0 ms;
+* every dispatch pays a tunnel round trip (tens of ms), drowning kernels.
+
+:func:`bench_scan` solves both: the timed loop runs entirely on device as a
+``lax.scan`` whose steps are chained through the carry, launched once with a
+fresh nonce, and synced with a scalar device->host read.
+
+:func:`cached_graph` caches built :class:`Graph` pytrees (plus companion
+arrays) on disk, because host-side graph construction + transfer of ~200 MB
+of index arrays through the tunnel costs minutes per process.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Callable, Tuple
+
+import numpy as np
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "logs", "cache")
+
+
+def save_pytree(path: str, tree) -> None:
+    """Persist a pytree of arrays (npz + pickled treedef)."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path + ".npz", *[np.asarray(l) for l in leaves])
+    with open(path + ".treedef", "wb") as f:
+        pickle.dump(treedef, f)
+
+
+def load_pytree(path: str):
+    """Load a pytree saved by :func:`save_pytree` (leaves stay NumPy)."""
+    import jax
+
+    if not (os.path.exists(path + ".npz") and os.path.exists(path + ".treedef")):
+        return None
+    with open(path + ".treedef", "rb") as f:
+        treedef = pickle.load(f)
+    z = np.load(path + ".npz")
+    leaves = [z[k] for k in z.files]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def cached_graph(key: str, build: Callable[[], object]):
+    """Build-or-load a graph pytree cached under ``logs/cache/<key>``."""
+    path = os.path.join(_CACHE_DIR, key)
+    tree = load_pytree(path)
+    if tree is None:
+        tree = build()
+        try:
+            save_pytree(path, tree)
+        except Exception:
+            pass  # cache is best-effort
+    return tree
+
+
+def bench_scan(fn, init, iters: int = 30, label: str = "",
+               verbose: bool = True) -> float:
+    """Median-free honest timing: one on-device scan of ``iters`` chained
+    applications of ``fn`` (carry perturbed by a nonce so no two launches
+    share arguments), ending in a forced scalar read. Returns ms/iter."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(init, nonce):
+        def body(c, _):
+            out = fn(jax.tree_util.tree_map(lambda a: a + nonce, c))
+            return c, jax.tree_util.tree_map(
+                lambda a: jnp.sum(a.astype(jnp.float32)), out)
+
+        _, sums = jax.lax.scan(body, init, None, length=iters)
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + b, jax.tree_util.tree_map(lambda s: s[-1], sums))
+
+    o = run(init, jnp.float32(0))
+    jax.block_until_ready(o)
+    t0 = time.time()
+    o = run(init, jnp.float32(1e-12))
+    _ = float(o)
+    dt = (time.time() - t0) / iters * 1e3
+    if verbose and label:
+        print(f"{label}: {dt:.3f} ms", flush=True)
+    return dt

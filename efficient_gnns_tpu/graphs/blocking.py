@@ -58,6 +58,11 @@ class EdgeBlocking:
     # host-side so runtime weight expansion never chains two scalar gathers).
     # None means edge_id already is the CSR mapping (forward blocking).
     csr_perm: jnp.ndarray = None
+    # int32[num_edges_padded] inverse of the slot->CSR mapping: CSR edge id
+    # -> blocked slot (padding slot for CSR ids without one). Lets per-edge
+    # kernel outputs (e.g. attention weight gradients computed in blocked
+    # order) return to CSR order with one cheap thin gather.
+    inv_perm: jnp.ndarray = None
     tm: int = struct.field(pytree_node=False, default=256)
     eb: int = struct.field(pytree_node=False, default=512)
     num_tiles: int = struct.field(pytree_node=False, default=0)
@@ -177,11 +182,31 @@ def attach_blocked_weights(graph):
 
 def _compose_csr_perm(
     order_to_csr: np.ndarray, edge_id: np.ndarray, num_edges_padded: int,
-) -> jnp.ndarray:
+) -> np.ndarray:
     perm = np.full(edge_id.shape[0], num_edges_padded, dtype=np.int32)
     real = edge_id < num_edges_padded
     perm[real] = order_to_csr[edge_id[real]]
-    return jnp.asarray(perm)
+    return perm
+
+
+def _inverse_perm(
+    mapping: np.ndarray, dst_local_flat: np.ndarray, tm: int,
+    num_edges_padded: int,
+) -> np.ndarray:
+    """int32[num_edges_padded]: CSR edge id -> blocked slot index.
+
+    CSR ids without a slot (only possible on hub-decomposed graphs, whose
+    runtime-weight paths are disabled anyway) and padded CSR ids point at a
+    padding slot, whose kernel outputs are zero by construction.
+    """
+    real = dst_local_flat < tm
+    pad_slots = np.nonzero(~real)[0]
+    pad_slot = int(pad_slots[0]) if pad_slots.size else 0
+    inv = np.full(num_edges_padded, pad_slot, dtype=np.int32)
+    m = mapping[real]
+    ok = m < num_edges_padded
+    inv[m[ok]] = np.nonzero(real)[0][ok]
+    return inv
 
 
 def build_blocking(
@@ -223,8 +248,13 @@ def build_blocking(
                 edge_weight, edge_id, dst_local, num_edges_padded, nb, eb, tm
             ))
         csr_perm = None
+        mapping = edge_id
         if order_to_csr is not None:
-            csr_perm = _compose_csr_perm(order_to_csr, edge_id, num_edges_padded)
+            mapping = _compose_csr_perm(order_to_csr, edge_id, num_edges_padded)
+            csr_perm = jnp.asarray(mapping)
+        inv = _inverse_perm(
+            mapping, np.asarray(dst_local).reshape(-1), tm, num_edges_padded
+        )
         return EdgeBlocking(
             tile_idx=jnp.asarray(tile_idx),
             first_flag=jnp.asarray(first_flag),
@@ -233,6 +263,7 @@ def build_blocking(
             dst_local=jnp.asarray(dst_local),
             w_blk=w_blk,
             csr_perm=csr_perm,
+            inv_perm=jnp.asarray(inv),
             tm=tm,
             eb=eb,
             num_tiles=num_tiles,
@@ -274,8 +305,11 @@ def build_blocking(
             edge_weight, edge_id, dst_local, num_edges_padded, nb, eb, tm
         ))
     csr_perm = None
+    mapping = edge_id
     if order_to_csr is not None:
-        csr_perm = _compose_csr_perm(order_to_csr, edge_id, num_edges_padded)
+        mapping = _compose_csr_perm(order_to_csr, edge_id, num_edges_padded)
+        csr_perm = jnp.asarray(mapping)
+    inv = _inverse_perm(mapping, dst_local, tm, num_edges_padded)
 
     return EdgeBlocking(
         tile_idx=jnp.asarray(tile_idx),
@@ -285,6 +319,7 @@ def build_blocking(
         dst_local=jnp.asarray(dst_local.reshape(nb, eb)),
         w_blk=w_blk,
         csr_perm=csr_perm,
+        inv_perm=jnp.asarray(inv),
         tm=tm,
         eb=eb,
         num_tiles=num_tiles,

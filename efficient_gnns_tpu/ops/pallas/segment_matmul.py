@@ -24,8 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 from efficient_gnns_tpu.graphs.blocking import EdgeBlocking
 
 
-def _accumulate(first_ref, out_ref, partial):
-    i = pl.program_id(1)  # grid is (feature_tiles, edge_blocks)
+def _accumulate(first_ref, out_ref, partial, axis=1):
+    i = pl.program_id(axis)  # edge-block position in the grid
 
     @pl.when(first_ref[i] == 1)
     def _():
@@ -73,6 +73,76 @@ def _kernel_scaled(tile_ref, first_ref, dst_ref, w_ref, msgs_ref, out_ref, *, eb
     wcol = w_ref[0, 0, :][:, None].astype(msgs_ref.dtype)  # [EB, 1]; 0 on padding
     msgs = msgs_ref[...] * wcol
     _accumulate(first_ref, out_ref, _onehot_dot(dst, msgs, eb, tm))
+
+
+def _kernel_scaled_heads(tile_ref, first_ref, dst_ref, w_ref, msgs_ref, out_ref,
+                         *, eb, tm, h, dp):
+    """Scatter with a per-(edge, head) scale fused in. Messages are laid out
+    head-major ``[EB, H*Dp]`` with each head's features 128-aligned, so the
+    per-head scale is a static column-slice multiply (VPU) feeding one
+    one-hot MXU product — the [E, H*D] scaled-message array that the XLA
+    formulation materializes in HBM never exists."""
+    dst = dst_ref[0, 0, :]
+    msgs = msgs_ref[...]
+    scaled = []
+    for j in range(h):
+        wcol = w_ref[0, j, :][:, None].astype(msgs.dtype)  # [EB, 1]
+        scaled.append(msgs[:, j * dp:(j + 1) * dp] * wcol)
+    _accumulate(first_ref, out_ref,
+                _onehot_dot(dst, jnp.concatenate(scaled, axis=-1), eb, tm),
+                axis=0)  # grid is (nb,) — un-tiled feature width
+
+
+def blocked_segment_sum_heads(
+    msgs: jnp.ndarray,  # [nb*EB, H*Dp] blocked edge messages, head-major
+    w: jnp.ndarray,  # [nb, H, EB] per-(edge, head) scale (0 on padding)
+    blocking: EdgeBlocking,
+    num_rows: int,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """float32[num_rows, H*Dp] segment sums with per-head scaling fused into
+    the scatter kernel. ``H*Dp`` must fit VMEM un-tiled (H*Dp <= ~4096 in
+    bf16); callers fall back to pre-scaled ``blocked_segment_sum`` beyond.
+    """
+    nb, eb, tm = blocking.num_blocks, blocking.eb, blocking.tm
+    f = msgs.shape[-1]
+    h = num_heads
+    assert f % h == 0 and (f // h) % 128 == 0, (f, h)
+    dp = f // h
+    assert msgs.shape[0] == nb * eb, (msgs.shape, nb, eb)
+    assert w.shape == (nb, h, eb), (w.shape, nb, h, eb)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_scaled_heads, eb=eb, tm=tm, h=h, dp=dp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # tile_idx, first_flag
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1, eb), lambda i, tile_ref, first_ref: (i, 0, 0)),
+                pl.BlockSpec((1, h, eb), lambda i, tile_ref, first_ref: (i, 0, 0)),
+                pl.BlockSpec((eb, f), lambda i, tile_ref, first_ref: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tm, f), lambda i, tile_ref, first_ref: (tile_ref[i], 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((blocking.num_tiles, tm, f), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * eb * tm * f + nb * eb * f,
+            bytes_accessed=msgs.size * msgs.dtype.itemsize
+            + blocking.num_tiles * tm * f * 4 + w.size * 4,
+            transcendentals=0,
+        ),
+    )(
+        blocking.tile_idx,
+        blocking.first_flag,
+        blocking.dst_local.reshape(nb, 1, eb),
+        w,
+        msgs,
+    )
+    return out.reshape(blocking.num_tiles * tm, f)[:num_rows]
 
 
 def _feature_tile(f: int, eb: int, tm: int, itemsize: int) -> int:
@@ -152,6 +222,73 @@ def blocked_segment_sum(
             cost_estimate=cost,
         )(*prefetch, dst, w.reshape(nb, 1, eb), msgs)
     return out.reshape(blocking.num_tiles * tm, f)[:num_rows]
+
+
+def _dw_heads_kernel(tile_ref, dst_ref, g_ref, x_ref, out_ref, *, eb, tm, h, dp):
+    """Per-(edge, head) row-dot against resident cotangent tiles: the
+    multi-head analog of ``_dw_kernel`` (GAT attention weight gradient).
+    ``dw[slot, j] = <g[dst(slot), j*Dp:(j+1)*Dp], x_blk[slot, j*Dp:(j+1)*Dp]>``.
+    """
+    dst = dst_ref[0, 0, :]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (eb, tm), 1)
+    onehot = (dst[:, None] == cols).astype(g_ref.dtype)
+    g_rows = jax.lax.dot_general(
+        onehot,
+        g_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_matmul_precision(g_ref.dtype),
+    )  # [EB, H*Dp]
+    x = x_ref[...].astype(jnp.float32)
+    for j in range(h):
+        sl = slice(j * dp, (j + 1) * dp)
+        out_ref[0, j, :] = jnp.sum(g_rows[:, sl] * x[:, sl], axis=-1)
+
+
+def blocked_sddmm_dw_heads(
+    g: jnp.ndarray,  # [num_tiles*TM, H*Dp] cotangent rows, tile-padded
+    x_blk: jnp.ndarray,  # [nb*EB, H*Dp] gathered source features (head-major)
+    blocking: EdgeBlocking,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """float32[nb*EB, H] per-(edge, head) dots in *blocked* order (padding
+    slots 0) — the multi-head SpMM weight gradient, reading cotangent rows
+    tile-sequentially instead of the random row-gather ``g[receivers]``."""
+    nb, eb, tm = blocking.num_blocks, blocking.eb, blocking.tm
+    f = x_blk.shape[-1]
+    h = num_heads
+    assert f % h == 0 and (f // h) % 128 == 0, (f, h)
+    dp = f // h
+    assert g.shape == (blocking.num_tiles * tm, f), (g.shape,)
+
+    out = pl.pallas_call(
+        functools.partial(_dw_heads_kernel, eb=eb, tm=tm, h=h, dp=dp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # tile_idx
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1, eb), lambda i, tile_ref: (i, 0, 0)),
+                pl.BlockSpec((1, tm, f), lambda i, tile_ref: (tile_ref[i], 0, 0)),
+                pl.BlockSpec((eb, f), lambda i, tile_ref: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, h, eb), lambda i, tile_ref: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, h, eb), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * eb * tm * f + 2 * nb * eb * f,
+            bytes_accessed=x_blk.size * x_blk.dtype.itemsize
+            + nb * tm * f * 4 + nb * eb * h * 4,
+            transcendentals=0,
+        ),
+    )(
+        blocking.tile_idx,
+        blocking.dst_local.reshape(nb, 1, eb),
+        g.reshape(blocking.num_tiles, tm, f),
+        x_blk,
+    )
+    return jnp.moveaxis(out, 1, 2).reshape(nb * eb, h)
 
 
 def _dw_kernel(tile_ref, dst_ref, g_ref, x_ref, out_ref, *, eb, tm):

@@ -248,13 +248,24 @@ def _spmm_blocked_bwd(num_nodes, msg_dtype, interpret, weight_grad, res, g):
     dx = blocked_segment_sum(
         g_blk_p, tblk, num_nodes, w=w_t_blk, interpret=interpret
     )[:, :f].astype(x.dtype)
-    if weight_grad:
+    valid = receivers < num_nodes
+    if weight_grad and blk.inv_perm is not None:
+        # dW via per-edge row-dots against resident cotangent tiles (no
+        # random gather of g); result returns to CSR order via inv_perm.
+        from efficient_gnns_tpu.ops.pallas import blocked_sddmm_dw
+
+        dx, x = _after(dx, x)
+        gp, _ = _pad_features(g.astype(msg_dtype))
+        x_blk = gather(_pad_features(x.astype(msg_dtype))[0], blk.src)
+        gt = _pad_rows(gp, blk.num_tiles * blk.tm)
+        dw_blk = blocked_sddmm_dw(gt, x_blk, blk, interpret=interpret)
+        dw = jnp.where(valid, gather(dw_blk, blk.inv_perm), 0.0).astype(w.dtype)
+    elif weight_grad:
         gf = g.astype(jnp.float32)
         w_t_blk, gf, x = _after(w_t_blk, gf, x)
         gr = gather(gf, receivers)
         gr, x = _after(gr, x)
         xr = gather(x, senders).astype(jnp.float32)
-        valid = receivers < num_nodes
         dw = jnp.where(valid, jnp.sum(gr * xr, axis=-1), 0.0).astype(w.dtype)
     else:
         dw = jnp.zeros_like(w)
@@ -391,17 +402,67 @@ def _heads_w_blocked(w, blocking):
     return gather(w, jnp.minimum(mapping, w.shape[0] - 1))
 
 
+_HEADS_FUSED_VMEM = 8 * 1024 * 1024  # bytes; conservative vs 16 MB VMEM
+
+
+def _heads_fused_ok(blk, h, dp, itemsize) -> bool:
+    """The fused per-head-scale kernel runs un-tiled over the H*Dp feature
+    width: its msgs block + f32 out tile (double-buffered) must fit VMEM."""
+    if blk.inv_perm is None:  # blocking predates the fused layout
+        return False
+    f = h * dp
+    return 2 * (blk.eb * f * itemsize + blk.tm * f * 4) <= _HEADS_FUSED_VMEM
+
+
+def _pad_heads(x):
+    """[N, H, D] -> ([N, H*Dp], Dp) with each head's features 128-aligned,
+    so per-head column slices stay lane-aligned inside Pallas kernels."""
+    n, h, d = x.shape
+    dp = ((d + 127) // 128) * 128
+    if dp != d:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
+    return x.reshape(n, h * dp), dp
+
+
+def _heads_w3(w, blocking):
+    """[E, H] CSR-ordered head weights -> [nb, H, EB] for the fused kernel.
+    Padding slots keep whatever the clipped gather reads: their one-hot row
+    is zero, so the kernel drops them regardless."""
+    nb, eb = blocking.num_blocks, blocking.eb
+    h = w.shape[-1]
+    return jnp.moveaxis(_heads_w_blocked(w, blocking).reshape(nb, eb, h), 2, 1)
+
+
+def _pad_rows(a, rows):
+    return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
+
+
 def _blocked_heads_fwd_impl(x, w, blk, num_nodes, msg_dtype, interpret):
-    from efficient_gnns_tpu.ops.pallas import blocked_segment_sum
+    from efficient_gnns_tpu.ops.pallas import (
+        blocked_segment_sum,
+        blocked_segment_sum_heads,
+    )
 
     n, h, d = x.shape
     x, w = jax.lax.optimization_barrier((x, w))  # see _after
-    # gather in the message dtype: the [E, H*D] blocked messages are the
-    # dominant HBM transient (6.8 GB at GAT-teacher scale in f32)
+    dp_probe = ((d + 127) // 128) * 128
+    if _heads_fused_ok(blk, h, dp_probe, jnp.dtype(msg_dtype).itemsize):
+        # fused path: gather unscaled messages (head-major, 128-aligned) and
+        # apply the per-(edge, head) scale inside the scatter kernel — the
+        # scaled [E, H*D] array never round-trips HBM.
+        xf, dp = _pad_heads(x.astype(msg_dtype))
+        x_blk = gather(xf, blk.src)
+        x_blk, w = _after(x_blk, w)
+        w3 = _heads_w3(w.astype(jnp.float32), blk)
+        out = blocked_segment_sum_heads(
+            x_blk, w3, blk, num_nodes, h, interpret=interpret
+        )
+        return out.reshape(num_nodes, h, dp)[:, :, :d].astype(x.dtype)
+    # wide fallback: pre-scale then feature-tiled scatter
     x_blk = gather(x.astype(msg_dtype), blk.src)
     x_blk, w = _after(x_blk, w)  # sequence gathers (see _after)
     w_blk = _heads_w_blocked(w, blk)
-    msgs = x_blk * w_blk.astype(msg_dtype)[:, :, None]
+    msgs = x_blk.reshape(-1, h, d) * w_blk.astype(msg_dtype)[:, :, None]
     msgs, f = _pad_features(msgs.reshape(-1, h * d))
     out = blocked_segment_sum(msgs, blk, num_nodes, interpret=interpret)
     return out[:, : h * d].reshape(num_nodes, h, d).astype(x.dtype)
@@ -420,11 +481,45 @@ def _spmm_heads_blocked_fwd(x, w, blk, tblk, csc_perm, senders, receivers,
 
 
 def _spmm_heads_blocked_bwd(num_nodes, msg_dtype, interpret, res, g):
-    from efficient_gnns_tpu.ops.pallas import blocked_segment_sum
+    from efficient_gnns_tpu.ops.pallas import (
+        blocked_sddmm_dw_heads,
+        blocked_segment_sum,
+        blocked_segment_sum_heads,
+    )
 
     x, w, blk, tblk, csc_perm, senders, receivers = res
     n, h, d = x.shape
     g, x = jax.lax.optimization_barrier((g, x))  # see _after
+    dp_probe = ((d + 127) // 128) * 128
+    fused = _heads_fused_ok(blk, h, dp_probe, jnp.dtype(msg_dtype).itemsize) \
+        and _heads_fused_ok(tblk, h, dp_probe, jnp.dtype(msg_dtype).itemsize)
+
+    if fused:
+        # dX: fused per-head-scaled scatter over the transpose blocking
+        gp, dp = _pad_heads(g.astype(msg_dtype))
+        g_blk = gather(gp, tblk.src)
+        g_blk, w = _after(g_blk, w)
+        w_src = w if tblk.csr_perm is not None else w[csc_perm]
+        w3_t = _heads_w3(w_src.astype(jnp.float32), tblk)
+        dx = blocked_segment_sum_heads(
+            g_blk, w3_t, tblk, num_nodes, h, interpret=interpret
+        ).reshape(num_nodes, h, dp)[:, :, :d].astype(x.dtype)
+
+        # dW: per-(edge, head) row-dots against resident cotangent tiles —
+        # no random gather of g; x rows re-gathered in the forward layout.
+        dx, x = _after(dx, x)
+        xf, _ = _pad_heads(x.astype(msg_dtype))
+        x_blk = gather(xf, blk.src)
+        gt = _pad_rows(gp, blk.num_tiles * blk.tm)
+        dw_blk = blocked_sddmm_dw_heads(gt, x_blk, blk, h, interpret=interpret)
+        dw = gather(dw_blk, blk.inv_perm)  # thin, CSR order
+        valid = (receivers < num_nodes)[:, None]
+        dw = jnp.where(valid, dw, 0.0).astype(w.dtype)
+        return (
+            dx, dw, _tree_float0(blk), _tree_float0(tblk),
+            float0_like(csc_perm), float0_like(senders), float0_like(receivers),
+        )
+
     gf = g.astype(jnp.float32)
     g_blk = gather(g.astype(msg_dtype), tblk.src)
     g_blk, w = _after(g_blk, w)  # sequence gathers (see _after)

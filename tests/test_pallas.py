@@ -291,3 +291,83 @@ def test_hub_graph_runtime_weights_fall_back_correctly(rng):
     x = rng.normal(size=(n, 4)).astype(np.float32)
     got = ops.spmm(g, jnp.asarray(x), edge_weight=w)
     np.testing.assert_allclose(np.asarray(got), a @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_spmm_heads_fallback_matches_fused(rng, monkeypatch):
+    # d=20 -> per-head padding to 128; force the pre-scaled fallback via a
+    # zero VMEM budget and check fused == fallback == XLA
+    g, _ = _graph(rng, n=90, e=400, tm=32, eb=16)
+    n, h, d = 90, 2, 20
+    x = jnp.asarray(rng.normal(size=(n, h, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(g.num_edges_padded, h)).astype(np.float32))
+
+    def loss(x_, w_):
+        return jnp.sum(jnp.cos(ops.spmm_heads(g, x_, w_)))
+
+    v_fused = loss(x, w)
+    g_fused = jax.grad(loss, argnums=(0, 1))(x, w)
+
+    import importlib
+    spmm_mod = importlib.import_module('efficient_gnns_tpu.ops.spmm')
+    monkeypatch.setattr(spmm_mod, "_HEADS_FUSED_VMEM", 0)
+    v_fb = loss(x, w)
+    g_fb = jax.grad(loss, argnums=(0, 1))(x, w)
+
+    dispatch.set_backend("xla")
+    v_xla = loss(x, w)
+    g_xla = jax.grad(loss, argnums=(0, 1))(x, w)
+    dispatch.set_backend("pallas", interpret=True)
+
+    np.testing.assert_allclose(float(v_fused), float(v_xla), rtol=1e-5)
+    np.testing.assert_allclose(float(v_fb), float(v_xla), rtol=1e-5)
+    for a, b, c in zip(g_fused, g_fb, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5)
+
+
+def test_blocking_inv_perm_roundtrip(rng):
+    g, _ = _graph(rng, n=80, e=300, tm=32, eb=16)
+    for blk in (g.blocking, g.t_blocking):
+        inv = np.asarray(blk.inv_perm)
+        mapping = np.asarray(
+            blk.csr_perm if blk.csr_perm is not None else blk.edge_id
+        )
+        dst = np.asarray(blk.dst_local).reshape(-1)
+        real = dst < blk.tm
+        # every real CSR edge round-trips: mapping[inv[csr]] == csr
+        csr_ids = mapping[real]
+        assert np.array_equal(mapping[inv[csr_ids]], csr_ids)
+        # padded CSR ids land on padding slots (zero kernel output)
+        e_real = csr_ids.max() + 1 if csr_ids.size else 0
+        pad_ids = np.arange(e_real, g.num_edges_padded)
+        if pad_ids.size and (~real).any():
+            assert np.all(dst[inv[pad_ids]] == blk.tm)
+
+
+def test_thin_segment_kernels_match_numpy(rng):
+    from efficient_gnns_tpu.ops.pallas import (
+        blocked_segment_max_thin,
+        blocked_segment_sum_thin,
+    )
+
+    g, (s, r) = _graph(rng, n=70, e=320, tm=32, eb=16)
+    blk = g.blocking
+    h = 3
+    e_pad = g.num_edges_padded
+    vals_csr = rng.normal(size=(e_pad, h)).astype(np.float32)
+    mapping = np.asarray(
+        blk.csr_perm if blk.csr_perm is not None else blk.edge_id
+    )
+    v_blk = jnp.asarray(vals_csr)[np.minimum(mapping, e_pad - 1)]
+
+    got_sum = np.asarray(blocked_segment_sum_thin(v_blk, blk, 70, interpret=True))
+    got_max = np.asarray(blocked_segment_max_thin(v_blk, blk, 70, interpret=True))
+
+    rr = np.asarray(g.receivers)
+    valid = rr < 70
+    ref_sum = np.zeros((70, h), np.float32)
+    ref_max = np.full((70, h), np.finfo(np.float32).min, np.float32)
+    np.add.at(ref_sum, rr[valid], vals_csr[valid])
+    np.maximum.at(ref_max, rr[valid], vals_csr[valid])
+    np.testing.assert_allclose(got_sum, ref_sum, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got_max, ref_max)
