@@ -112,11 +112,22 @@ def main():
     # numeric ground truth: device output must match host math
     _validate(ds, np.asarray(ds.x), fwd(graph, x))
 
-    # timed: one RPC runs ITERS chained steps; scalar read = hard sync
+    # second warmup with a distinct nonce: the first execution with fresh
+    # arguments pays a one-time relay cost on tunneled backends (measured
+    # ~2 s/iter of fake slowdown) that compile-warmup alone doesn't absorb
     t0 = time.time()
-    loss = steps(graph, x, jnp.float32(1e-9))
+    loss = steps(graph, x, jnp.float32(1e-10))
     _ = float(loss)
-    dt = (time.time() - t0) / ITERS
+    log(f"second warmup {time.time() - t0:.1f}s")
+
+    # timed: one RPC runs ITERS chained steps; scalar read = hard sync;
+    # best of 2 trials guards against relay hiccups
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        loss = steps(graph, x, jnp.float32(1e-9))
+        _ = float(loss)
+        dt = min(dt, (time.time() - t0) / ITERS)
 
     # each chained step adds an axpy (~3*N*F*4 bytes HBM, ~4% of the SpMM
     # traffic) on top of fwd+bwd; report the conservative (unadjusted) time

@@ -66,28 +66,47 @@ def cached_graph(key: str, build: Callable[[], object]):
 
 
 def bench_scan(fn, init, iters: int = 30, label: str = "",
-               verbose: bool = True) -> float:
-    """Median-free honest timing: one on-device scan of ``iters`` chained
-    applications of ``fn`` (carry perturbed by a nonce so no two launches
-    share arguments), ending in a forced scalar read. Returns ms/iter."""
+               verbose: bool = True, const=None) -> float:
+    """Median-free honest timing: one on-device scan of ``iters`` *chained*
+    applications of ``fn``, launched with a fresh nonce and ended by a forced
+    scalar read. ``fn`` maps carry -> new carry (or ``(new_carry, aux)``);
+    the carry MUST thread through the computation, otherwise the body is
+    loop-invariant and XLA hoists it out of the scan. Returns ms/iter.
+
+    ``const``: optional loop-invariant pytree (e.g. the Graph) passed as a
+    jit *argument* and forwarded as ``fn(const, carry)`` — closing over
+    multi-MB index arrays bakes them into the XLA program, which blows the
+    remote-compile request limit on tunneled backends (HTTP 413)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(init, nonce):
+    def run(const, init, nonce):
         def body(c, _):
-            out = fn(jax.tree_util.tree_map(lambda a: a + nonce, c))
-            return c, jax.tree_util.tree_map(
-                lambda a: jnp.sum(a.astype(jnp.float32)), out)
+            out = fn(c) if const is None else fn(const, c)
+            new_c, aux = out if (isinstance(out, tuple) and len(out) == 2) \
+                else (out, jnp.float32(0))
+            return new_c, aux
 
-        _, sums = jax.lax.scan(body, init, None, length=iters)
+        final, _ = jax.lax.scan(
+            body,
+            jax.tree_util.tree_map(lambda a: a + nonce, init),
+            None, length=iters,
+        )
         return jax.tree_util.tree_reduce(
-            lambda a, b: a + b, jax.tree_util.tree_map(lambda s: s[-1], sums))
+            lambda a, b: a + b,
+            jax.tree_util.tree_map(
+                lambda a: jnp.sum(a.astype(jnp.float32)), final))
 
-    o = run(init, jnp.float32(0))
-    jax.block_until_ready(o)
+    # Two warmups with distinct nonces, each synced by a *host read* of the
+    # scalar (``float``): on tunneled backends ``block_until_ready`` returns
+    # before remote execution finishes, and the first execution with fresh
+    # arguments pays a large one-time relay cost that compile-warmup alone
+    # does not absorb — only a device->host value read is a true barrier.
+    _ = float(run(const, init, jnp.float32(0)))
+    _ = float(run(const, init, jnp.float32(1e-13)))
     t0 = time.time()
-    o = run(init, jnp.float32(1e-12))
+    o = run(const, init, jnp.float32(1e-12))
     _ = float(o)
     dt = (time.time() - t0) / iters * 1e3
     if verbose and label:
