@@ -121,11 +121,13 @@ def main():
     log(f"second warmup {time.time() - t0:.1f}s")
 
     # timed: one RPC runs ITERS chained steps; scalar read = hard sync;
-    # best of 2 trials guards against relay hiccups
+    # best of 2 trials guards against relay hiccups. Each trial gets a
+    # distinct nonce so a (program, args)-caching relay can never return a
+    # memoized ~0 ms result for the second trial.
     dt = float("inf")
-    for _ in range(2):
+    for trial in range(2):
         t0 = time.time()
-        loss = steps(graph, x, jnp.float32(1e-9))
+        loss = steps(graph, x, jnp.float32(1e-9 * (trial + 1)))
         _ = float(loss)
         dt = min(dt, (time.time() - t0) / ITERS)
 
@@ -138,6 +140,11 @@ def main():
 
     log(f"iter {dt * 1e3:.2f} ms, edges/s {edges_per_s:.3e}, "
         f"SoL fraction {vs_baseline:.3f}")
+    if vs_baseline > 1.0:
+        raise SystemExit(
+            f"FATAL: measured {vs_baseline:.2f}x of the HBM speed-of-light — "
+            "impossible; the backend returned cached/elided results."
+        )
     print(json.dumps({
         "metric": "edges/s/chip (SpMM fwd+bwd) on ogbn-arxiv-shaped graph",
         "value": edges_per_s,

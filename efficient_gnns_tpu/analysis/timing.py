@@ -64,3 +64,33 @@ def count_params(params) -> int:
     """Total trainable parameter count of a pytree (the reference prints
     this per model, e.g. ``arxiv_dgl/gat.py:382``)."""
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def capture_trace(
+    fn: Callable,
+    *args,
+    trace_dir: str = "logs/traces",
+    steps: int = 3,
+    warmup: int = 1,
+) -> str:
+    """Record a ``jax.profiler`` trace of ``steps`` executions of ``fn``.
+
+    The kernel-level attribution the reference never had (its profiling is
+    wall-clock ``time.time()`` + NVML polling, ``arxiv_pyg/test.py:88-114``;
+    SURVEY.md §5 tracing row). View with TensorBoard's profile plugin or
+    Perfetto (``trace.json.gz`` under the returned directory).
+
+    Returns the trace directory path. ``fn`` is jitted if it isn't already.
+    """
+    import os
+
+    jfn = jax.jit(fn) if not hasattr(fn, "lower") else fn
+    for _ in range(warmup):
+        jax.block_until_ready(jfn(*args))
+    os.makedirs(trace_dir, exist_ok=True)
+    with jax.profiler.trace(trace_dir):
+        for i in range(steps):
+            with jax.profiler.StepTraceAnnotation("step", step_num=i):
+                out = jfn(*args)
+        jax.block_until_ready(out)
+    return trace_dir

@@ -63,6 +63,12 @@ class EdgeBlocking:
     # kernel outputs (e.g. attention weight gradients computed in blocked
     # order) return to CSR order with one cheap thin gather.
     inv_perm: jnp.ndarray = None
+    # int32[nb*EB] (transpose blockings only): slot index into the *forward*
+    # blocking holding the same edge. Lets the attention backward move
+    # per-edge values (softmax probs, logit grads) from forward-blocked to
+    # transpose-blocked order with ONE thin gather instead of two chained
+    # CSR permutations (see ops/attention.py).
+    cross_perm: jnp.ndarray = None
     tm: int = struct.field(pytree_node=False, default=256)
     eb: int = struct.field(pytree_node=False, default=512)
     num_tiles: int = struct.field(pytree_node=False, default=0)
@@ -129,7 +135,25 @@ def attach_blocking(graph, tm: int = 256, eb: int = None):
         edge_weight=None if w is None else w[np.minimum(csc_perm, w.shape[0] - 1)],
         order_to_csr=csc_perm,
     )
+    tblk = attach_cross_perm(blk, tblk, graph.num_edges_padded)
     return graph.replace(blocking=blk, t_blocking=tblk)
+
+
+def attach_cross_perm(blocking: EdgeBlocking, t_blocking: EdgeBlocking,
+                      num_edges_padded: int) -> EdgeBlocking:
+    """Returns ``t_blocking`` with ``cross_perm`` filled: for every transpose
+    slot, the forward-blocking slot holding the same edge (a padding slot of
+    the forward blocking for transpose padding slots). One-time device
+    gather — NO host readback (index arrays may already live behind a TPU
+    tunnel where readback dominates build time).
+    """
+    inv = blocking.inv_perm
+    t_map = (
+        t_blocking.csr_perm if t_blocking.csr_perm is not None
+        else t_blocking.edge_id
+    )
+    cross = jnp.take(inv, jnp.minimum(t_map, inv.shape[0] - 1), mode="clip")
+    return t_blocking.replace(cross_perm=cross.astype(jnp.int32))
 
 
 def _pre_block_weights(

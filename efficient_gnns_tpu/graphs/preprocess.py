@@ -235,6 +235,9 @@ def build_graph(
             edge_weight=_pad_w(ew_t_b),
             order_to_csr=_pad_order(order_t),
         )
+        from efficient_gnns_tpu.graphs.blocking import attach_cross_perm
+
+        t_blocking = attach_cross_perm(blocking, t_blocking, e_b_pad)
 
     return Graph(
         senders=jnp.asarray(_pad_idx(s_csr)),

@@ -31,6 +31,11 @@ from efficient_gnns_tpu.ops import (
     spmm_heads,
     spmm_mean,
 )
+from efficient_gnns_tpu.ops.attention import (
+    gat_attention,
+    sample_edge_masks,
+    supports_fused_attention,
+)
 
 xavier_uniform = nn.initializers.xavier_uniform()
 xavier_normal = nn.initializers.xavier_normal()
@@ -174,27 +179,46 @@ class DGLGATConv(nn.Module):
 
         attn_l = self.param("attn_l", relu_gain_xavier_normal, (d, h), jnp.float32)
         el = jnp.einsum("nhd,dh->nh", feat_src.astype(jnp.float32), attn_l)
+        er = None
         if self.use_attn_dst:
             attn_r = self.param("attn_r", relu_gain_xavier_normal, (d, h), jnp.float32)
             er = jnp.einsum("nhd,dh->nh", feat.astype(jnp.float32), attn_r)
-            e = sddmm_add(graph, el, er)  # [E, H]
-        else:
-            e = gather(el, graph.senders)
-        e = nn.leaky_relu(e, self.negative_slope)
 
-        keep_mask = None
-        if training and self.edge_drop > 0:
-            # The reference permutes edge ids and keeps a (1-edge_drop)
-            # fraction; a per-edge Bernoulli keep is the static-shape analog
-            # with the same marginal distribution.
-            rng = self.make_rng("dropout")
-            keep_mask = jax.random.bernoulli(
-                rng, 1.0 - self.edge_drop, (graph.num_edges_padded,)
+        if supports_fused_attention(graph):
+            # fused blocked path: SDDMM -> edge-softmax -> weighted SpMM as
+            # Pallas kernels in blocked edge order (ops/attention.py)
+            keep = attn = None
+            if training and (self.edge_drop > 0 or self.attn_drop > 0):
+                keep, attn = sample_edge_masks(
+                    graph, self.make_rng("dropout"),
+                    self.edge_drop, self.attn_drop, h,
+                )
+            rst = gat_attention(
+                graph, feat_src, el, er,
+                negative_slope=self.negative_slope,
+                keep_mask=keep, attn_keep=attn,
+                attn_keep_prob=1.0 - self.attn_drop,
             )
-        a = edge_softmax(graph, e, keep_mask=keep_mask)
-        a = nn.Dropout(self.attn_drop, deterministic=not training)(a)
+        else:
+            if er is not None:
+                e = sddmm_add(graph, el, er)  # [E, H]
+            else:
+                e = gather(el, graph.senders)
+            e = nn.leaky_relu(e, self.negative_slope)
 
-        rst = spmm_heads(graph, feat_src, a.astype(feat_src.dtype))  # [N, H, D]
+            keep_mask = None
+            if training and self.edge_drop > 0:
+                # The reference permutes edge ids and keeps a (1-edge_drop)
+                # fraction; a per-edge Bernoulli keep is the static-shape
+                # analog with the same marginal distribution.
+                rng = self.make_rng("dropout")
+                keep_mask = jax.random.bernoulli(
+                    rng, 1.0 - self.edge_drop, (graph.num_edges_padded,)
+                )
+            a = edge_softmax(graph, e, keep_mask=keep_mask)
+            a = nn.Dropout(self.attn_drop, deterministic=not training)(a)
+
+            rst = spmm_heads(graph, feat_src, a.astype(feat_src.dtype))  # [N, H, D]
 
         if self.use_symmetric_norm:
             degs = jnp.maximum(graph.in_degrees(), 1.0)
@@ -231,10 +255,22 @@ class PyGGATConv(nn.Module):
         att_dst = self.param("att_dst", xavier_uniform, (d, h), jnp.float32)
         el = jnp.einsum("nhd,dh->nh", feat.astype(jnp.float32), att_src)
         er = jnp.einsum("nhd,dh->nh", feat.astype(jnp.float32), att_dst)
-        e = nn.leaky_relu(sddmm_add(graph, el, er), self.negative_slope)
-        a = edge_softmax(graph, e)
-        a = nn.Dropout(self.dropout, deterministic=not training)(a)
-        rst = spmm_heads(graph, feat, a.astype(feat.dtype))
+        if supports_fused_attention(graph):
+            attn = None
+            if training and self.dropout > 0:
+                _, attn = sample_edge_masks(
+                    graph, self.make_rng("dropout"), 0.0, self.dropout, h
+                )
+            rst = gat_attention(
+                graph, feat, el, er,
+                negative_slope=self.negative_slope,
+                attn_keep=attn, attn_keep_prob=1.0 - self.dropout,
+            )
+        else:
+            e = nn.leaky_relu(sddmm_add(graph, el, er), self.negative_slope)
+            a = edge_softmax(graph, e)
+            a = nn.Dropout(self.dropout, deterministic=not training)(a)
+            rst = spmm_heads(graph, feat, a.astype(feat.dtype))
         if self.concat:
             rst = rst.reshape(-1, h * d)
             bias = self.param("bias", nn.initializers.zeros, (h * d,), jnp.float32)

@@ -7,6 +7,7 @@ from efficient_gnns_tpu.ops.pallas.segment_matmul import (
 from efficient_gnns_tpu.ops.pallas.segment_thin import (
     blocked_segment_max_thin,
     blocked_segment_sum_thin,
+    tile_rows_thin,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "blocked_sddmm_dw_heads",
     "blocked_segment_max_thin",
     "blocked_segment_sum_thin",
+    "tile_rows_thin",
 ]

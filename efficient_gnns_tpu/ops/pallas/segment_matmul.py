@@ -76,21 +76,17 @@ def _kernel_scaled(tile_ref, first_ref, dst_ref, w_ref, msgs_ref, out_ref, *, eb
 
 
 def _kernel_scaled_heads(tile_ref, first_ref, dst_ref, w_ref, msgs_ref, out_ref,
-                         *, eb, tm, h, dp):
-    """Scatter with a per-(edge, head) scale fused in. Messages are laid out
-    head-major ``[EB, H*Dp]`` with each head's features 128-aligned, so the
-    per-head scale is a static column-slice multiply (VPU) feeding one
-    one-hot MXU product — the [E, H*D] scaled-message array that the XLA
-    formulation materializes in HBM never exists."""
+                         *, eb, tm):
+    """Scatter with a per-(edge, head) scale fused in. The grid is
+    ``(H, nb)`` — each step covers one head's 128-aligned Dp feature slice of
+    one edge block, so the VMEM working set is ``EB x Dp`` regardless of the
+    total ``H*Dp`` width (float32-safe at GAT-teacher width). The scaled
+    [E, H*D] message array that the XLA formulation materializes in HBM
+    never exists."""
     dst = dst_ref[0, 0, :]
-    msgs = msgs_ref[...]
-    scaled = []
-    for j in range(h):
-        wcol = w_ref[0, j, :][:, None].astype(msgs.dtype)  # [EB, 1]
-        scaled.append(msgs[:, j * dp:(j + 1) * dp] * wcol)
-    _accumulate(first_ref, out_ref,
-                _onehot_dot(dst, jnp.concatenate(scaled, axis=-1), eb, tm),
-                axis=0)  # grid is (nb,) — un-tiled feature width
+    wcol = w_ref[0, 0, :][:, None].astype(msgs_ref.dtype)  # [EB, 1]; 0 on padding
+    msgs = msgs_ref[...] * wcol
+    _accumulate(first_ref, out_ref, _onehot_dot(dst, msgs, eb, tm), axis=1)
 
 
 def blocked_segment_sum_heads(
@@ -102,9 +98,8 @@ def blocked_segment_sum_heads(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """float32[num_rows, H*Dp] segment sums with per-head scaling fused into
-    the scatter kernel. ``H*Dp`` must fit VMEM un-tiled (H*Dp <= ~4096 in
-    bf16); callers fall back to pre-scaled ``blocked_segment_sum`` beyond.
-    """
+    the scatter kernel. Each head's Dp feature slice must be 128-aligned
+    (``_pad_heads`` layout in ops/spmm.py)."""
     nb, eb, tm = blocking.num_blocks, blocking.eb, blocking.tm
     f = msgs.shape[-1]
     h = num_heads
@@ -114,17 +109,25 @@ def blocked_segment_sum_heads(
     assert w.shape == (nb, h, eb), (w.shape, nb, h, eb)
 
     out = pl.pallas_call(
-        functools.partial(_kernel_scaled_heads, eb=eb, tm=tm, h=h, dp=dp),
+        functools.partial(_kernel_scaled_heads, eb=eb, tm=tm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # tile_idx, first_flag
-            grid=(nb,),
+            # head axis OUTER so consecutive steps walk the edge blocks of
+            # one head and shared output tiles stay resident while they
+            # accumulate (TPU grids are sequential, last dim fastest)
+            grid=(h, nb),
             in_specs=[
-                pl.BlockSpec((1, 1, eb), lambda i, tile_ref, first_ref: (i, 0, 0)),
-                pl.BlockSpec((1, h, eb), lambda i, tile_ref, first_ref: (i, 0, 0)),
-                pl.BlockSpec((eb, f), lambda i, tile_ref, first_ref: (i, 0)),
+                pl.BlockSpec((1, 1, eb), lambda j, i, tile_ref, first_ref: (i, 0, 0)),
+                # w flattened to [nb*H, 1, EB] so the trailing block dims
+                # equal the array dims (Mosaic full-dim block rule)
+                pl.BlockSpec(
+                    (1, 1, eb), lambda j, i, tile_ref, first_ref: (i * h + j, 0, 0)
+                ),
+                pl.BlockSpec((eb, dp), lambda j, i, tile_ref, first_ref: (i, j)),
             ],
             out_specs=pl.BlockSpec(
-                (1, tm, f), lambda i, tile_ref, first_ref: (tile_ref[i], 0, 0)
+                (1, tm, dp),
+                lambda j, i, tile_ref, first_ref: (tile_ref[i], 0, j),
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((blocking.num_tiles, tm, f), jnp.float32),
@@ -139,7 +142,7 @@ def blocked_segment_sum_heads(
         blocking.tile_idx,
         blocking.first_flag,
         blocking.dst_local.reshape(nb, 1, eb),
-        w,
+        w.reshape(nb * h, 1, eb),
         msgs,
     )
     return out.reshape(blocking.num_tiles * tm, f)[:num_rows]
@@ -224,9 +227,10 @@ def blocked_segment_sum(
     return out.reshape(blocking.num_tiles * tm, f)[:num_rows]
 
 
-def _dw_heads_kernel(tile_ref, dst_ref, g_ref, x_ref, out_ref, *, eb, tm, h, dp):
+def _dw_heads_kernel(tile_ref, dst_ref, g_ref, x_ref, out_ref, *, eb, tm):
     """Per-(edge, head) row-dot against resident cotangent tiles: the
     multi-head analog of ``_dw_kernel`` (GAT attention weight gradient).
+    Grid ``(H, nb)`` — one head's Dp slice per step, f32-safe VMEM.
     ``dw[slot, j] = <g[dst(slot), j*Dp:(j+1)*Dp], x_blk[slot, j*Dp:(j+1)*Dp]>``.
     """
     dst = dst_ref[0, 0, :]
@@ -238,11 +242,9 @@ def _dw_heads_kernel(tile_ref, dst_ref, g_ref, x_ref, out_ref, *, eb, tm, h, dp)
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_matmul_precision(g_ref.dtype),
-    )  # [EB, H*Dp]
+    )  # [EB, Dp]
     x = x_ref[...].astype(jnp.float32)
-    for j in range(h):
-        sl = slice(j * dp, (j + 1) * dp)
-        out_ref[0, j, :] = jnp.sum(g_rows[:, sl] * x[:, sl], axis=-1)
+    out_ref[0, 0, :] = jnp.sum(g_rows * x, axis=-1)
 
 
 def blocked_sddmm_dw_heads(
@@ -263,18 +265,20 @@ def blocked_sddmm_dw_heads(
     assert g.shape == (blocking.num_tiles * tm, f), (g.shape,)
 
     out = pl.pallas_call(
-        functools.partial(_dw_heads_kernel, eb=eb, tm=tm, h=h, dp=dp),
+        functools.partial(_dw_heads_kernel, eb=eb, tm=tm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # tile_idx
-            grid=(nb,),
+            grid=(h, nb),
             in_specs=[
-                pl.BlockSpec((1, 1, eb), lambda i, tile_ref: (i, 0, 0)),
-                pl.BlockSpec((1, tm, f), lambda i, tile_ref: (tile_ref[i], 0, 0)),
-                pl.BlockSpec((eb, f), lambda i, tile_ref: (i, 0)),
+                pl.BlockSpec((1, 1, eb), lambda j, i, tile_ref: (i, 0, 0)),
+                pl.BlockSpec((1, tm, dp), lambda j, i, tile_ref: (tile_ref[i], 0, j)),
+                pl.BlockSpec((eb, dp), lambda j, i, tile_ref: (i, j)),
             ],
-            out_specs=pl.BlockSpec((1, h, eb), lambda i, tile_ref: (i, 0, 0)),
+            # out flattened to [nb*H, 1, EB]: trailing block dims equal the
+            # array dims (Mosaic full-dim block rule)
+            out_specs=pl.BlockSpec((1, 1, eb), lambda j, i, tile_ref: (i * h + j, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, h, eb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * h, 1, eb), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * eb * tm * f + 2 * nb * eb * f,
@@ -288,7 +292,7 @@ def blocked_sddmm_dw_heads(
         g.reshape(blocking.num_tiles, tm, f),
         x_blk,
     )
-    return jnp.moveaxis(out, 1, 2).reshape(nb * eb, h)
+    return jnp.moveaxis(out.reshape(nb, h, eb), 1, 2).reshape(nb * eb, h)
 
 
 def _dw_kernel(tile_ref, dst_ref, g_ref, x_ref, out_ref, *, eb, tm):

@@ -125,6 +125,64 @@ def blocked_segment_sum_thin(
     )
 
 
+def _rows_kernel(tile_ref, dst_ref, vals_ref, out_ref, *, eb, tm):
+    """Per-slot destination-row read: ``out[slot] = vals[dst_global(slot)]``
+    without a random gather — the destination rows of one edge block all live
+    in a single resident [TM, H] tile, selected by a one-hot MXU product
+    (the dual of the scatter). Padding slots get all-zero rows."""
+    dst = dst_ref[0, 0, :]  # [EB]; == tm for padding slots
+    cols = jax.lax.broadcasted_iota(jnp.int32, (eb, tm), 1)
+    onehot = (dst[:, None] == cols).astype(jnp.float32)
+    out_ref[0] = jax.lax.dot_general(
+        onehot,
+        vals_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [EB, H]
+
+
+def tile_rows_thin(
+    vals: jnp.ndarray,  # [num_tiles*TM, H] float32 per-destination values
+    blocking: EdgeBlocking,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """float32[nb*EB, H] — broadcast per-destination values to their edge
+    slots in blocked order (``vals[dst]`` per slot; 0 for padding slots).
+
+    The read half of edge-softmax normalization: per-segment max / reciprocal
+    denominators flow back to the edges through resident output tiles instead
+    of an HBM row gather.
+    """
+    nb, eb, tm = blocking.num_blocks, blocking.eb, blocking.tm
+    h = vals.shape[-1]
+    assert vals.shape[0] == blocking.num_tiles * tm, (vals.shape,)
+    out = pl.pallas_call(
+        functools.partial(_rows_kernel, eb=eb, tm=tm),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # tile_idx
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1, eb), lambda i, tile_ref: (i, 0, 0)),
+                pl.BlockSpec((1, tm, h), lambda i, tile_ref: (tile_ref[i], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, eb, h), lambda i, tile_ref: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, eb, h), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * eb * tm * h,
+            bytes_accessed=nb * eb * h * 4 + nb * tm * h * 4,
+            transcendentals=0,
+        ),
+    )(
+        blocking.tile_idx,
+        blocking.dst_local.reshape(nb, 1, eb),
+        vals.reshape(blocking.num_tiles, tm, h),
+    )
+    return out.reshape(nb * eb, h)
+
+
 def blocked_segment_max_thin(
     vals: jnp.ndarray,
     blocking: EdgeBlocking,

@@ -406,12 +406,12 @@ _HEADS_FUSED_VMEM = 8 * 1024 * 1024  # bytes; conservative vs 16 MB VMEM
 
 
 def _heads_fused_ok(blk, h, dp, itemsize) -> bool:
-    """The fused per-head-scale kernel runs un-tiled over the H*Dp feature
-    width: its msgs block + f32 out tile (double-buffered) must fit VMEM."""
+    """The fused per-head-scale kernel tiles the grid per head, so only one
+    head's EB x Dp msgs block + TM x Dp f32 out tile (double-buffered) must
+    fit VMEM — float32-safe at GAT-teacher width (3 heads x 256)."""
     if blk.inv_perm is None:  # blocking predates the fused layout
         return False
-    f = h * dp
-    return 2 * (blk.eb * f * itemsize + blk.tm * f * 4) <= _HEADS_FUSED_VMEM
+    return 2 * (blk.eb * dp * itemsize + blk.tm * dp * 4) <= _HEADS_FUSED_VMEM
 
 
 def _pad_heads(x):

@@ -84,3 +84,16 @@ def test_submit_aggregator(tmp_path, capsys):
     submit.main(["--out_dir", str(tmp_path)])
     out = capsys.readouterr().out
     assert "e1-gcn-kd" in out and "71.00" in out
+
+
+def test_capture_trace_writes_profile(tmp_path):
+    import jax.numpy as jnp
+    from efficient_gnns_tpu.analysis.timing import capture_trace
+
+    def f(x):
+        return jnp.sum(x * x)
+
+    d = capture_trace(f, jnp.arange(8.0), trace_dir=str(tmp_path), steps=2)
+    # the profiler writes a plugins/profile/<run>/ tree with a trace file
+    found = list((tmp_path / "plugins").rglob("*.*"))
+    assert found, f"no trace artifacts under {d}"

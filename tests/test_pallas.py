@@ -371,3 +371,127 @@ def test_thin_segment_kernels_match_numpy(rng):
     np.maximum.at(ref_max, rr[valid], vals_csr[valid])
     np.testing.assert_allclose(got_sum, ref_sum, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(got_max, ref_max)
+
+
+def test_tile_rows_thin_matches_numpy(rng):
+    from efficient_gnns_tpu.ops.pallas import tile_rows_thin
+
+    g, (s, r) = _graph(rng, n=70, e=320, tm=32, eb=16)
+    blk = g.blocking
+    h = 3
+    ntm = blk.num_tiles * blk.tm
+    vals = rng.normal(size=(ntm, h)).astype(np.float32)
+    got = np.asarray(tile_rows_thin(jnp.asarray(vals), blk, interpret=True))
+
+    tm = blk.tm
+    tile = np.repeat(np.asarray(blk.tile_idx), blk.eb)
+    dst_local = np.asarray(blk.dst_local).reshape(-1)
+    real = dst_local < tm
+    ref = np.zeros((blk.num_blocks * blk.eb, h), np.float32)
+    ref[real] = vals[tile[real] * tm + dst_local[real]]
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def _attention_setup(rng, n=70, e=320, h=3, d=5, tm=32, eb=16):
+    g, _ = _graph(rng, n=n, e=e, tm=tm, eb=eb)
+    feat = jnp.asarray(rng.normal(size=(n, h, d)).astype(np.float32))
+    el = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    return g, feat, el, er
+
+
+def _attention_xla(g, feat, el, er, slope=0.2, keep_csr=None):
+    if er is not None:
+        e = ops.sddmm_add(g, el, er)
+    else:
+        e = ops.gather(el, g.senders)
+    e = jax.nn.leaky_relu(e, slope)
+    a = ops.edge_softmax(g, e, keep_mask=keep_csr)
+    return ops.spmm_heads(g, feat, a)
+
+
+@pytest.mark.parametrize("use_er", [True, False])
+def test_fused_attention_matches_xla(rng, use_er):
+    from efficient_gnns_tpu.ops.attention import gat_attention
+
+    g, feat, el, er = _attention_setup(rng)
+    if not use_er:
+        er = None
+    out = gat_attention(g, feat, el, er)
+
+    dispatch.set_backend("xla")
+    ref = _attention_xla(g, feat, el, er)
+    dispatch.set_backend("pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_er", [True, False])
+def test_fused_attention_grads_match_xla(rng, use_er):
+    from efficient_gnns_tpu.ops.attention import gat_attention
+
+    g, feat, el, er = _attention_setup(rng)
+    if not use_er:
+        er = None
+
+    def loss_fused(feat_, el_, er_):
+        return jnp.sum(gat_attention(g, feat_, el_, er_) ** 2)
+
+    def loss_xla(feat_, el_, er_):
+        dispatch.set_backend("xla")
+        try:
+            return jnp.sum(_attention_xla(g, feat_, el_, er_) ** 2)
+        finally:
+            dispatch.set_backend("pallas", interpret=True)
+
+    argnums = (0, 1, 2) if use_er else (0, 1)
+    gf = jax.grad(loss_fused, argnums=argnums)(feat, el, er)
+    gx = jax.grad(loss_xla, argnums=argnums)(feat, el, er)
+    for a, b, name in zip(gf, gx, ["dfeat", "del", "der"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4, err_msg=name
+        )
+
+
+def test_fused_attention_keep_mask_matches_xla(rng):
+    """Edge-drop: masked edges are excluded from normalization entirely."""
+    from efficient_gnns_tpu.ops.attention import gat_attention
+
+    g, feat, el, er = _attention_setup(rng)
+    blk = g.blocking
+    e_pad = g.num_edges_padded
+    keep_csr = rng.random(e_pad) < 0.7
+
+    # same kept-edge set expressed in blocked slot order
+    mapping = np.asarray(
+        blk.csr_perm if blk.csr_perm is not None else blk.edge_id
+    )
+    keep_blk = keep_csr[np.minimum(mapping, e_pad - 1)]
+    keep_blk &= np.asarray(blk.dst_local).reshape(-1) < blk.tm
+
+    out = gat_attention(g, feat, el, er, keep_mask=jnp.asarray(keep_blk))
+    dispatch.set_backend("xla")
+    ref = _attention_xla(g, feat, el, er, keep_csr=jnp.asarray(keep_csr))
+    dispatch.set_backend("pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_dgl_gat_conv_fused_matches_xla_path(rng):
+    """DGLGATConv picks the fused kernel when blockings exist; eval-mode
+    outputs must match the XLA formulation bit-for-tolerance."""
+    from efficient_gnns_tpu.models.layers import DGLGATConv
+
+    g, _ = _graph(rng, n=60, e=240, tm=32, eb=16)
+    x = jnp.asarray(rng.normal(size=(60, 7)).astype(np.float32))
+    layer = DGLGATConv(out_feats=5, num_heads=2, use_attn_dst=True,
+                       use_symmetric_norm=True, residual=True)
+    variables = layer.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        g, x,
+    )
+    out_fused = layer.apply(variables, g, x)
+    dispatch.set_backend("xla")
+    out_xla = layer.apply(variables, g, x)
+    dispatch.set_backend("pallas", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_xla), rtol=2e-4, atol=2e-5
+    )
