@@ -29,26 +29,43 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def save_pytree(path: str, tree) -> None:
-    """Persist a pytree of arrays (npz + pickled treedef)."""
+    """Persist a pytree of arrays (npz + pickled treedef).
+
+    bfloat16 leaves are stored as uint16 bit patterns (np.savez cannot
+    serialize ml_dtypes) with the original dtype names pickled alongside."""
     import jax
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savez(path + ".npz", *[np.asarray(l) for l in leaves])
+    arrays, dtypes = [], []
+    for l in leaves:
+        a = np.asarray(l)
+        dtypes.append(a.dtype.name)
+        if a.dtype.name == "bfloat16":
+            a = a.view(np.uint16)
+        arrays.append(a)
+    np.savez(path + ".npz", *arrays)
     with open(path + ".treedef", "wb") as f:
-        pickle.dump(treedef, f)
+        pickle.dump((treedef, dtypes), f)
 
 
 def load_pytree(path: str):
     """Load a pytree saved by :func:`save_pytree` (leaves stay NumPy)."""
     import jax
+    import jax.numpy as jnp
 
     if not (os.path.exists(path + ".npz") and os.path.exists(path + ".treedef")):
         return None
     with open(path + ".treedef", "rb") as f:
-        treedef = pickle.load(f)
+        meta = pickle.load(f)
+    treedef, dtypes = meta if isinstance(meta, tuple) else (meta, None)
     z = np.load(path + ".npz")
     leaves = [z[k] for k in z.files]
+    if dtypes is not None:
+        leaves = [
+            l.view(jnp.bfloat16.dtype) if d == "bfloat16" else l
+            for l, d in zip(leaves, dtypes)
+        ]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -66,12 +83,14 @@ def cached_graph(key: str, build: Callable[[], object]):
 
 
 def bench_scan(fn, init, iters: int = 30, label: str = "",
-               verbose: bool = True, const=None) -> float:
+               verbose: bool = True, const=None, has_aux: bool = False) -> float:
     """Median-free honest timing: one on-device scan of ``iters`` *chained*
     applications of ``fn``, launched with a fresh nonce and ended by a forced
-    scalar read. ``fn`` maps carry -> new carry (or ``(new_carry, aux)``);
-    the carry MUST thread through the computation, otherwise the body is
-    loop-invariant and XLA hoists it out of the scan. Returns ms/iter.
+    scalar read. ``fn`` maps carry -> new carry, or, with ``has_aux=True``,
+    carry -> ``(new_carry, aux)`` (explicit flag, like ``jax.value_and_grad``
+    — a 2-tuple return is otherwise treated as a 2-tuple *carry*); the carry
+    MUST thread through the computation, otherwise the body is loop-invariant
+    and XLA hoists it out of the scan. Returns ms/iter.
 
     ``const``: optional loop-invariant pytree (e.g. the Graph) passed as a
     jit *argument* and forwarded as ``fn(const, carry)`` — closing over
@@ -84,8 +103,7 @@ def bench_scan(fn, init, iters: int = 30, label: str = "",
     def run(const, init, nonce):
         def body(c, _):
             out = fn(c) if const is None else fn(const, c)
-            new_c, aux = out if (isinstance(out, tuple) and len(out) == 2) \
-                else (out, jnp.float32(0))
+            new_c, aux = out if has_aux else (out, jnp.float32(0))
             return new_c, aux
 
         final, _ = jax.lax.scan(

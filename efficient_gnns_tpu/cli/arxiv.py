@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     # synthetic dataset sizing (ignored for real data)
     p.add_argument("--num_nodes", type=int, default=20000)
     p.add_argument("--num_edges", type=int, default=120000)
+    p.add_argument("--signal", type=float, default=0.8,
+                   help="synthetic class-signal strength (lower = harder)")
+    p.add_argument("--label_noise", type=float, default=0.0)
+    p.add_argument("--epoch_chunk", type=int, default=50,
+                   help="epochs per on-device scan chunk (one host round "
+                        "trip per chunk)")
     p.add_argument("--out_dir", type=str, default="logs")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard event files")
@@ -81,7 +87,8 @@ def load_dataset(args):
         from efficient_gnns_tpu.data import synthetic_node_dataset
 
         return synthetic_node_dataset(
-            num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42
+            num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42,
+            signal=args.signal, label_noise=args.label_noise,
         )
     from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
 
@@ -179,27 +186,37 @@ def main(argv=None):
             start_epoch = trainer.restore_checkpoint(ckpt_path) + 1
             print(f"Run {run + 1:02d}: resumed from {ckpt_path} at epoch {start_epoch}")
         t0 = time.time()
-        for epoch in range(start_epoch, args.epochs + 1):
-            metrics = trainer.train_epoch(epoch)
-            _, accs = trainer.evaluate()
-            logger.add_result(run, accs)
-            # reference's TB scalar names (arxiv_pyg/gnn.py:355-361)
-            writer.write(epoch, {
-                "loss/train": metrics["loss"],
-                "loss/cls": metrics["loss_cls"],
-                "loss/aux": metrics["loss_aux"],
-                "acc/train": accs[0],
-                "acc/valid": accs[1],
-                "acc/test": accs[2],
-            })
-            if epoch % args.log_steps == 0 or epoch == args.epochs:
-                print(
-                    f"Run {run + 1:02d} Epoch {epoch:04d} "
-                    f"loss {metrics['loss']:.4f} (cls {metrics['loss_cls']:.4f}, "
-                    f"aux {metrics['loss_aux']:.4f}) "
-                    f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}"
-                )
-            if args.checkpoint_every and epoch % args.checkpoint_every == 0:
+        # epoch loop in on-device chunks (one host sync per chunk; per-epoch
+        # eval still recorded for Logger's argmax-val selection)
+        epoch = start_epoch
+        while epoch <= args.epochs:
+            k = min(args.epoch_chunk, args.epochs - epoch + 1)
+            hist = trainer.run_epochs(epoch, k)
+            for i in range(k):
+                ep = epoch + i
+                loss, loss_cls, loss_aux, a_tr, a_va, a_te = hist[i]
+                accs = (float(a_tr), float(a_va), float(a_te))
+                logger.add_result(run, accs)
+                # reference's TB scalar names (arxiv_pyg/gnn.py:355-361)
+                writer.write(ep, {
+                    "loss/train": float(loss),
+                    "loss/cls": float(loss_cls),
+                    "loss/aux": float(loss_aux),
+                    "acc/train": accs[0],
+                    "acc/valid": accs[1],
+                    "acc/test": accs[2],
+                })
+                if ep % args.log_steps == 0 or ep == args.epochs:
+                    print(
+                        f"Run {run + 1:02d} Epoch {ep:04d} "
+                        f"avg-epoch {(time.time() - t0) / (ep - start_epoch + 1):.3f}s "
+                        f"loss {float(loss):.4f} (cls {float(loss_cls):.4f}, "
+                        f"aux {float(loss_aux):.4f}) "
+                        f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}",
+                        flush=True,
+                    )
+            epoch += k
+            if args.checkpoint_every and (epoch - 1) % args.checkpoint_every == 0:
                 trainer.save_checkpoint(ckpt_path)
         if args.checkpoint_every:
             trainer.save_checkpoint(ckpt_path)

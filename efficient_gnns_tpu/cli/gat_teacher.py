@@ -40,12 +40,19 @@ def build_parser():
     p.add_argument("--edge-drop", type=float, default=0.0)
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--epoch-chunk", type=int, default=50,
+                   help="epochs per on-device scan chunk (one host round "
+                        "trip per chunk; eval/best-val selection still runs "
+                        "every epoch)")
     p.add_argument("--save-pred", action="store_true")
     p.add_argument("--expt-name", type=str, default="debug")
     p.add_argument("--out-dir", type=str, default=".")
     # synthetic sizing
     p.add_argument("--num-nodes", type=int, default=20000)
     p.add_argument("--num-edges", type=int, default=120000)
+    p.add_argument("--signal", type=float, default=0.8,
+                   help="synthetic class-signal strength (lower = harder)")
+    p.add_argument("--label-noise", type=float, default=0.0)
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
@@ -69,16 +76,18 @@ def main(argv=None):
     if args.dataset == "synthetic":
         from efficient_gnns_tpu.data import synthetic_node_dataset
 
-        # hub_dense=0: GAT attention needs runtime edge weights over the
-        # full blocked edge set (graphs/hub_dense.py module docs)
+        # unweighted + hub-dense: the --no-attn-dst teacher rides the hub
+        # attention fast path (ops/hub_attention.py) — softmax aggregation
+        # as static-structure SpMMs, no per-edge wide gathers
         ds = synthetic_node_dataset(
             num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42,
-            hub_dense=0,
+            hub_dense="auto", gcn_norm=False,
+            signal=args.signal, label_noise=args.label_noise,
         )
     else:
         from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
 
-        ds = load_ogbn_arxiv(hub_dense=0)
+        ds = load_ogbn_arxiv(hub_dense="auto", gcn_norm=False)
 
     cfg = TeacherConfig(
         n_hidden=args.n_hidden,
@@ -107,25 +116,30 @@ def main(argv=None):
         if run == 0:
             print(f"params: {trainer.num_params()}  device: {jax.devices()[0]}")
 
-        best_val_loss, best_val_acc, final_test_acc = float("inf"), 0.0, 0.0
-        final = None
+        # epoch loop in on-device chunks: eval + best-val-LOSS selection run
+        # every epoch inside the scan (arxiv_dgl/gat.py:224-229); the host
+        # syncs once per chunk (tunnel round trips dominate otherwise)
+        best = trainer.init_best()
         t0 = time.time()
-        for epoch in range(1, args.n_epochs + 1):
-            m = trainer.train_epoch(epoch)
-            logits, feats, accs, losses = trainer.evaluate()
-            # best-validation-LOSS selection (arxiv_dgl/gat.py:224-229)
-            if losses[1] < best_val_loss:
-                best_val_loss = losses[1]
-                best_val_acc, final_test_acc = accs[1], accs[2]
-                final = (np.asarray(logits), np.asarray(feats))
-            if epoch % args.log_every == 0 or epoch == args.n_epochs:
-                print(
-                    f"Run {run}/{args.n_runs} Epoch {epoch}/{args.n_epochs} "
-                    f"avg-epoch {(time.time() - t0) / epoch:.2f}s "
-                    f"loss {m['loss']:.4f} "
-                    f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f} "
-                    f"best-val {best_val_acc:.4f} final-test {final_test_acc:.4f}"
-                )
+        epoch = 1
+        while epoch <= args.n_epochs:
+            k = min(args.epoch_chunk, args.n_epochs - epoch + 1)
+            best, hist = trainer.run_epochs(epoch, k, best)
+            epoch += k
+            h = np.asarray(hist[-1])
+            done = epoch - 1
+            print(
+                f"Run {run}/{args.n_runs} Epoch {done}/{args.n_epochs} "
+                f"avg-epoch {(time.time() - t0) / done:.2f}s "
+                f"loss {h[0]:.4f} "
+                f"train/val/test {h[2]:.4f}/{h[3]:.4f}/{h[4]:.4f} "
+                f"best-val {float(best['val_acc']):.4f} "
+                f"final-test {float(best['test_acc']):.4f}",
+                flush=True,
+            )
+        best_val_acc = float(best["val_acc"])
+        final_test_acc = float(best["test_acc"])
+        final = (np.asarray(best["logits"]), np.asarray(best["feats"]))
         val_accs.append(best_val_acc)
         test_accs.append(final_test_acc)
 

@@ -15,9 +15,11 @@ from efficient_gnns_tpu.data.synthetic import NodeDataset
 from efficient_gnns_tpu.graphs.preprocess import build_graph
 
 
-def load_ogbn_arxiv(root: str = "dataset", hub_dense="auto") -> NodeDataset:
-    """ogbn-arxiv with Pallas blockings; ``hub_dense=0`` for graphs that
-    will carry runtime (attention) edge weights."""
+def load_ogbn_arxiv(root: str = "dataset", hub_dense="auto",
+                    gcn_norm: bool = True) -> NodeDataset:
+    """ogbn-arxiv with Pallas blockings. GAT (attention) graphs pass
+    ``gcn_norm=False`` so the hub slices hold multiplicities — required by
+    the hub attention fast path (ops/hub_attention.py)."""
     try:
         from ogb.nodeproppred import NodePropPredDataset
     except ImportError as e:  # pragma: no cover - environment-dependent
@@ -37,7 +39,7 @@ def load_ogbn_arxiv(root: str = "dataset", hub_dense="auto") -> NodeDataset:
 
     graph = build_graph(
         s, r, num_nodes, bidirected=True, self_loops=True,
-        block=True, hub_dense=hub_dense, gcn_norm=True,
+        block=True, hub_dense=hub_dense, gcn_norm=gcn_norm,
     )
     return NodeDataset(
         graph=graph,

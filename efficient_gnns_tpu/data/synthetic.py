@@ -51,14 +51,26 @@ def synthetic_node_dataset(
     train_frac: float = 0.54,
     valid_frac: float = 0.18,
     label_smoothing_hops: int = 2,
+    signal: float = 0.8,
+    label_noise: float = 0.0,
     pad_nodes_to: Optional[int] = None,
     block: bool = True,
     hub_dense="auto",
+    gcn_norm: bool = True,
 ) -> NodeDataset:
     """ogbn-arxiv-shaped synthetic dataset (defaults = real arxiv sizes).
 
-    ``hub_dense``: forwarded to :func:`build_graph` — pass 0 when the graph
-    will carry runtime (attention) edge weights, e.g. the GAT teacher.
+    ``hub_dense``/``gcn_norm``: forwarded to :func:`build_graph`. GAT
+    (attention) graphs should pass ``gcn_norm=False`` so the hub-dense
+    slices hold edge multiplicities — that enables the hub attention fast
+    path (ops/hub_attention.py); GCN/SAGE graphs keep the default.
+
+    ``signal`` scales the class-prototype component of the features and
+    ``label_noise`` randomly relabels that fraction of nodes after
+    smoothing — together they set task difficulty. Defaults give an easy
+    (near-saturating) task for convergence tests; benchmark runs lower
+    ``signal`` / raise ``label_noise`` so accuracies land in a
+    discriminative range (see RESULTS.md).
     """
     rng = np.random.default_rng(seed)
     s, r = _powerlaw_edges(rng, num_nodes, num_edges)
@@ -71,7 +83,10 @@ def synthetic_node_dataset(
         y_new = y.copy()
         y_new[r] = y[s]  # receiver adopts a random in-neighbor's class
         y = y_new
-    x = protos[y] * 0.8 + rng.normal(size=(num_nodes, feat_dim)).astype(np.float32)
+    x = protos[y] * signal + rng.normal(size=(num_nodes, feat_dim)).astype(np.float32)
+    if label_noise > 0:
+        flip = rng.random(num_nodes) < label_noise
+        y = np.where(flip, rng.integers(0, num_classes, size=num_nodes), y)
 
     perm = rng.permutation(num_nodes)
     n_tr = int(train_frac * num_nodes)
@@ -88,7 +103,7 @@ def synthetic_node_dataset(
         pad_nodes_to=pad_nodes_to,
         block=block,
         hub_dense=hub_dense,
-        gcn_norm=True,
+        gcn_norm=gcn_norm,
     )
     if pad_nodes_to is not None and pad_nodes_to > num_nodes:
         x = np.concatenate(

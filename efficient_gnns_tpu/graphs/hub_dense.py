@@ -64,6 +64,10 @@ class HubDense:
     dst_cols: jnp.ndarray  # int32[Ehd] sender of each D edge
     dst_eids: jnp.ndarray  # int32[Ehd] CSR edge index of each D edge
     transposed: bool = struct.field(pytree_node=False, default=False)
+    # True when the dense values are raw edge multiplicities (built without
+    # edge weights) — required by ops/hub_attention.py, whose softmax math
+    # treats the slices as adjacency structure, not weighted values.
+    unit_values: bool = struct.field(pytree_node=False, default=False)
 
     def transpose(self) -> "HubDense":
         return self.replace(transposed=not self.transposed)
@@ -117,16 +121,16 @@ def refresh_hub_weights(hub: HubDense, w_csr: jnp.ndarray) -> HubDense:
     """
     w = w_csr.astype(jnp.float32)
     m_src = (
-        jnp.zeros_like(hub.m_src)
+        jnp.zeros(hub.m_src.shape, jnp.float32)
         .at[hub.src_rows, hub.src_cols]
         .add(w[hub.src_eids])
     )
     m_dst = (
-        jnp.zeros_like(hub.m_dst)
+        jnp.zeros(hub.m_dst.shape, jnp.float32)
         .at[hub.dst_rows, hub.dst_cols]
         .add(w[hub.dst_eids])
     )
-    return hub.replace(m_src=m_src, m_dst=m_dst)
+    return hub.replace(m_src=m_src, m_dst=m_dst, unit_values=False)
 
 
 def _top_k(counts: np.ndarray, k: int) -> np.ndarray:
@@ -203,6 +207,11 @@ def build_hub_dense(
     np.add.at(m_src, (src_rows, src_cols), w[src_eids])
     m_dst = np.zeros((hd, n_pad), np.float32)
     np.add.at(m_dst, (dst_rows, dst_cols), w[dst_eids])
+    if edge_weight is None:
+        # multiplicities are small integers — exact in bfloat16 and half the
+        # HBM/compile-transfer footprint (hub attention casts per step anyway)
+        m_src = m_src.astype(jnp.bfloat16)
+        m_dst = m_dst.astype(jnp.bfloat16)
 
     hub = HubDense(
         hub_src=jnp.asarray(hub_src),
@@ -215,6 +224,7 @@ def build_hub_dense(
         dst_rows=jnp.asarray(dst_rows),
         dst_cols=jnp.asarray(dst_cols),
         dst_eids=jnp.asarray(dst_eids),
+        unit_values=edge_weight is None,
     )
     return hub, ~(src_mask | dst_mask)
 

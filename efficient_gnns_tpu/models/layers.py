@@ -36,6 +36,10 @@ from efficient_gnns_tpu.ops.attention import (
     sample_edge_masks,
     supports_fused_attention,
 )
+from efficient_gnns_tpu.ops.hub_attention import (
+    hub_gat_attention,
+    supports_hub_attention,
+)
 
 xavier_uniform = nn.initializers.xavier_uniform()
 xavier_normal = nn.initializers.xavier_normal()
@@ -184,7 +188,23 @@ class DGLGATConv(nn.Module):
             attn_r = self.param("attn_r", relu_gain_xavier_normal, (d, h), jnp.float32)
             er = jnp.einsum("nhd,dh->nh", feat.astype(jnp.float32), attn_r)
 
-        if supports_fused_attention(graph):
+        if (er is None and self.attn_drop == 0.0
+                and supports_hub_attention(graph)):
+            # sender-only logits: softmax aggregation collapses to two
+            # static-structure SpMMs over the hub-dense decomposition
+            # (ops/hub_attention.py) — the flagship teacher fast path
+            # (--no-attn-dst, arxiv_dgl/models.py:199-204)
+            drop_seed = None
+            if training and self.edge_drop > 0:
+                drop_seed = jax.random.bits(
+                    self.make_rng("dropout"), dtype=jnp.uint32
+                )
+            rst = hub_gat_attention(
+                graph, feat_src, el,
+                negative_slope=self.negative_slope,
+                edge_drop=self.edge_drop, drop_seed=drop_seed,
+            )
+        elif supports_fused_attention(graph):
             # fused blocked path: SDDMM -> edge-softmax -> weighted SpMM as
             # Pallas kernels in blocked edge order (ops/attention.py)
             keep = attn = None

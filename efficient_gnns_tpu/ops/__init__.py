@@ -9,6 +9,10 @@ from efficient_gnns_tpu.ops.segment import (
 from efficient_gnns_tpu.ops.spmm import spmm, spmm_heads, spmm_mean
 from efficient_gnns_tpu.ops.sddmm import sddmm_add, sddmm_dot
 from efficient_gnns_tpu.ops.edge_softmax import edge_softmax
+from efficient_gnns_tpu.ops.hub_attention import (
+    hub_gat_attention,
+    supports_hub_attention,
+)
 
 __all__ = [
     "gather",
@@ -23,4 +27,6 @@ __all__ = [
     "sddmm_add",
     "sddmm_dot",
     "edge_softmax",
+    "hub_gat_attention",
+    "supports_hub_attention",
 ]

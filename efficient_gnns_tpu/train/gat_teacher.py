@@ -129,17 +129,21 @@ class GATTeacherTrainer:
         self.state = self._init_state()
         self._train_step = jax.jit(self._make_train_step())
         self._eval_step = jax.jit(self._make_eval_step())
+        self._epoch_chunk = jax.jit(self._make_epoch_chunk(), static_argnums=(4,))
 
     # ------------------------------------------------------------------
 
-    def _with_labels(self, label_chan):
+    @staticmethod
+    def _with_labels(x, label_chan):
         """Concatenate label channels to node features (gat.py:104-107)."""
-        return jnp.concatenate([self.x, label_chan], axis=-1)
+        return jnp.concatenate([x, label_chan], axis=-1)
 
     def _init_state(self) -> TeacherState:
         k = jax.random.PRNGKey(self.seed)
         feat = (
-            self._with_labels(jnp.zeros((self.graph.num_nodes, self.num_classes)))
+            self._with_labels(
+                self.x, jnp.zeros((self.graph.num_nodes, self.num_classes))
+            )
             if self.cfg.use_labels
             else self.x
         )
@@ -154,11 +158,11 @@ class GATTeacherTrainer:
             opt_state=self.tx.init(params),
         )
 
-    def _forward(self, params, batch_stats, feat, training, rng):
+    def _forward(self, params, batch_stats, graph, feat, training, rng):
         kwargs = dict(mutable=["batch_stats"]) if training else {}
         out = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
-            self.graph,
+            graph,
             feat,
             training=training,
             rngs={"dropout": rng} if training else None,
@@ -174,9 +178,12 @@ class GATTeacherTrainer:
         cfg = self.cfg
         onehot = jax.nn.one_hot(self.y, self.num_classes)
 
-        def step(state: TeacherState, rng):
+        # the graph and features ride as jit *arguments*: baking the hub
+        # slices / blockings in as closure constants blows the remote-compile
+        # request limit on tunneled backends (same rule as bench.py)
+        def step(state: TeacherState, rng, graph, x):
             k_mask, k_drop = jax.random.split(rng)
-            coin = jax.random.uniform(k_mask, (self.graph.num_nodes,)) < cfg.mask_rate
+            coin = jax.random.uniform(k_mask, (graph.num_nodes,)) < cfg.mask_rate
             if cfg.use_labels:
                 label_fed = self.train_mask & coin  # labels fed as input
                 pred_mask = self.train_mask & ~coin  # loss computed here
@@ -188,19 +195,19 @@ class GATTeacherTrainer:
                 drop_keys = jax.random.split(k_drop, 1 + cfg.n_label_iters)
                 if cfg.use_labels:
                     chan = jnp.where(label_fed[:, None], onehot, 0.0)
-                    feat = self._with_labels(chan)
+                    feat = self._with_labels(x, chan)
                 else:
-                    feat = self.x
+                    feat = x
                 logits, _, bs = self._forward(
-                    params, state.batch_stats, feat, True, drop_keys[0]
+                    params, state.batch_stats, graph, feat, True, drop_keys[0]
                 )
                 for i in range(cfg.n_label_iters):
                     # re-inject softmax predictions at non-label-fed nodes
                     soft = jax.nn.softmax(jax.lax.stop_gradient(logits), axis=-1)
                     chan = jnp.where(label_fed[:, None], onehot, soft)
-                    feat = self._with_labels(chan)
+                    feat = self._with_labels(x, chan)
                     logits, _, bs = self._forward(
-                        params, bs, feat, True, drop_keys[1 + i]
+                        params, bs, graph, feat, True, drop_keys[1 + i]
                     )
                 return log_eps_loss(logits, self.y, pred_mask), (logits, bs)
 
@@ -224,18 +231,22 @@ class GATTeacherTrainer:
         cfg = self.cfg
         onehot = jax.nn.one_hot(self.y, self.num_classes)
 
-        def step(params, batch_stats):
+        def step(params, batch_stats, graph, x):
             if cfg.use_labels:
                 chan = jnp.where(self.train_mask[:, None], onehot, 0.0)
-                feat = self._with_labels(chan)
+                feat = self._with_labels(x, chan)
             else:
-                feat = self.x
-            logits, feats, _ = self._forward(params, batch_stats, feat, False, None)
+                feat = x
+            logits, feats, _ = self._forward(
+                params, batch_stats, graph, feat, False, None
+            )
             for _ in range(cfg.n_label_iters):
                 soft = jax.nn.softmax(logits, axis=-1)
                 chan = jnp.where(self.train_mask[:, None], onehot, soft)
-                feat = self._with_labels(chan)
-                logits, feats, _ = self._forward(params, batch_stats, feat, False, None)
+                logits, feats, _ = self._forward(
+                    params, batch_stats, graph, self._with_labels(x, chan),
+                    False, None,
+                )
 
             pred = jnp.argmax(logits, -1)
 
@@ -250,16 +261,87 @@ class GATTeacherTrainer:
 
         return step
 
+    def _make_epoch_chunk(self):
+        """K epochs (train + full eval + best-val-LOSS tracking, reference
+        ``arxiv_dgl/gat.py:224-229``) as ONE on-device ``lax.scan``.
+
+        Per-epoch host reads cost a tunnel round trip each on remote TPU
+        backends (~5 s/epoch measured vs 0.5 s of compute); chunking brings
+        the driver loop to one dispatch + one host read per K epochs while
+        keeping per-epoch eval/selection semantics bit-identical."""
+        train_step = self._make_train_step()
+        eval_step = self._make_eval_step()
+        base_rng = jax.random.PRNGKey(self.seed)
+
+        def chunk(state, best, start_epoch, graph_x, k: int):
+            graph, x = graph_x
+
+            def body(carry, epoch):
+                state, best = carry
+                rng = jax.random.fold_in(base_rng, epoch)
+                state, m = train_step(state, rng, graph, x)
+                logits, feats, accs, losses = eval_step(
+                    state.params, state.batch_stats, graph, x
+                )
+                better = losses[1] < best["val_loss"]
+
+                def pick(new, old):
+                    return jnp.where(better, new, old)
+
+                best = {
+                    "val_loss": pick(losses[1], best["val_loss"]),
+                    "val_acc": pick(accs[1], best["val_acc"]),
+                    "test_acc": pick(accs[2], best["test_acc"]),
+                    "logits": pick(logits, best["logits"]),
+                    "feats": pick(feats, best["feats"]),
+                }
+                hist = jnp.stack(
+                    [m["loss"], m["train_acc"], accs[0], accs[1], accs[2],
+                     losses[0], losses[1], losses[2]]
+                )
+                return (state, best), hist
+
+            (state, best), hist = jax.lax.scan(
+                body, (state, best),
+                start_epoch + jnp.arange(k, dtype=jnp.int32),
+            )
+            return state, best, hist
+
+        return chunk
+
+    def init_best(self):
+        """Device-resident best-validation bundle for :meth:`run_epochs`."""
+        n = self.graph.num_nodes
+        feat_dim = self.cfg.n_hidden * self.cfg.n_heads
+        return {
+            "val_loss": jnp.asarray(jnp.inf, jnp.float32),
+            "val_acc": jnp.zeros((), jnp.float32),
+            "test_acc": jnp.zeros((), jnp.float32),
+            "logits": jnp.zeros((n, self.num_classes), jnp.float32),
+            "feats": jnp.zeros((n, feat_dim), jnp.float32),
+        }
+
+    def run_epochs(self, start_epoch: int, k: int, best=None):
+        """Run ``k`` epochs on device; returns ``(best, hist)`` where hist is
+        float32[k, 8]: (train_loss, train_acc, acc_tr/va/te, loss_tr/va/te).
+        """
+        if best is None:
+            best = self.init_best()
+        self.state, best, hist = self._epoch_chunk(
+            self.state, best, jnp.int32(start_epoch), (self.graph, self.x), k
+        )
+        return best, hist
+
     # ------------------------------------------------------------------
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
-        self.state, m = self._train_step(self.state, rng)
+        self.state, m = self._train_step(self.state, rng, self.graph, self.x)
         return {k: float(v) for k, v in m.items()}
 
     def evaluate(self):
         logits, feats, accs, losses = self._eval_step(
-            self.state.params, self.state.batch_stats
+            self.state.params, self.state.batch_stats, self.graph, self.x
         )
         return (
             logits,

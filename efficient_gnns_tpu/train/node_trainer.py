@@ -98,6 +98,7 @@ class NodeDistillTrainer:
         self.state = self._init_state()
         self._train_step = jax.jit(self._make_train_step())
         self._eval_step = jax.jit(self._make_eval_step())
+        self._epoch_chunk = jax.jit(self._make_epoch_chunk(), static_argnums=(3,))
 
     # ------------------------------------------------------------------
 
@@ -143,14 +144,21 @@ class NodeDistillTrainer:
         )
         return out, (mut.get("batch_stats", bs) if training else bs)
 
+    def _batch(self):
+        """The large device arrays as ONE jit-argument pytree — baking the
+        graph (hub slices, blockings) and teacher arrays in as closure
+        constants blows the remote-compile request limit on tunneled TPU
+        backends (same rule as bench.py)."""
+        return (self.graph, self.x, self.teacher_feat, self.teacher_logits,
+                self.lsp_graph)
+
     def _make_train_step(self) -> Callable:
         cfg = self.cfg
-        graph, x, y = self.graph, self.x, self.y
+        y = self.y
         tr = self.split_idx["train"]
-        t_feat, t_logits = self.teacher_feat, self.teacher_logits
-        lsp_graph = self.lsp_graph
 
-        def loss_fn(params, batch_stats, rng):
+        def loss_fn(params, batch_stats, rng, batch):
+            graph, x, t_feat, t_logits, lsp_graph = batch
             k_drop, k_sample = jax.random.split(rng)
             (logits, feat), mut = self.model.apply(
                 {"params": params["model"], "batch_stats": batch_stats["model"]},
@@ -243,10 +251,10 @@ class NodeDistillTrainer:
 
             return loss, (loss_cls, loss_aux, new_bs)
 
-        def train_step(state: TrainState, rng):
+        def train_step(state: TrainState, rng, batch):
             (loss, (loss_cls, loss_aux, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, state.batch_stats, rng)
+            )(state.params, state.batch_stats, rng, batch)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return (
@@ -262,10 +270,11 @@ class NodeDistillTrainer:
         return train_step
 
     def _make_eval_step(self) -> Callable:
-        graph, x, y = self.graph, self.x, self.y
+        y = self.y
         idx = self.split_idx
 
-        def eval_step(params, batch_stats):
+        def eval_step(params, batch_stats, batch):
+            graph, x = batch[0], batch[1]
             logits, _ = self.model.apply(
                 {"params": params["model"], "batch_stats": batch_stats["model"]},
                 graph,
@@ -281,15 +290,52 @@ class NodeDistillTrainer:
 
         return eval_step
 
+    def _make_epoch_chunk(self) -> Callable:
+        """K epochs (train + eval) as one on-device ``lax.scan`` — one host
+        round trip per chunk instead of per epoch (tunnel latency dominates
+        sub-second steps on remote TPU backends). Per-epoch eval statistics
+        come back stacked; best-epoch selection stays host-side (Logger
+        argmax-val semantics, reference ``arxiv_pyg/logger.py:14-22``)."""
+        train_step = self._make_train_step()
+        eval_step = self._make_eval_step()
+        base_rng = jax.random.PRNGKey(self.seed)
+
+        def chunk(state, start_epoch, batch, k: int):
+            def body(state, epoch):
+                rng = jax.random.fold_in(base_rng, epoch)
+                state, m = train_step(state, rng, batch)
+                _, accs = eval_step(state.params, state.batch_stats, batch)
+                hist = jnp.stack([
+                    m["loss"], m["loss_cls"], m["loss_aux"],
+                    accs[0], accs[1], accs[2],
+                ])
+                return state, hist
+
+            return jax.lax.scan(
+                body, state, start_epoch + jnp.arange(k, dtype=jnp.int32)
+            )
+
+        return chunk
+
+    def run_epochs(self, start_epoch: int, k: int) -> np.ndarray:
+        """Run ``k`` epochs on device; returns float32[k, 6] per-epoch
+        (loss, loss_cls, loss_aux, acc_train, acc_valid, acc_test)."""
+        self.state, hist = self._epoch_chunk(
+            self.state, jnp.int32(start_epoch), self._batch(), k
+        )
+        return np.asarray(hist)
+
     # ------------------------------------------------------------------
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
-        self.state, metrics = self._train_step(self.state, rng)
+        self.state, metrics = self._train_step(self.state, rng, self._batch())
         return {k: float(v) for k, v in metrics.items()}
 
     def evaluate(self) -> Tuple[jnp.ndarray, Tuple[float, float, float]]:
-        logits, accs = self._eval_step(self.state.params, self.state.batch_stats)
+        logits, accs = self._eval_step(
+            self.state.params, self.state.batch_stats, self._batch()
+        )
         return logits, tuple(float(a) for a in accs)
 
     # ------------------------------------------------------------------

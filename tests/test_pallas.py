@@ -228,8 +228,13 @@ def test_hub_dense_partition_covers_all_edges(rng):
     blk = g.blocking
     n_res = int(np.sum(np.asarray(blk.dst_local).reshape(-1) < blk.tm))
     assert n_hub + n_res == len(s)
-    # dense slices hold edge multiplicities when unweighted
-    assert float(jnp.sum(g.hub.m_src) + jnp.sum(g.hub.m_dst)) == n_hub
+    # dense slices hold edge multiplicities when unweighted (stored bf16 —
+    # exact for small integers; accumulate in f32)
+    assert float(
+        jnp.sum(g.hub.m_src.astype(jnp.float32))
+        + jnp.sum(g.hub.m_dst.astype(jnp.float32))
+    ) == n_hub
+    assert g.hub.unit_values
 
 
 def test_hub_spmm_matches_dense(rng):
