@@ -7,6 +7,12 @@ Measures the dominant sparse training op of the GCN student workload
 symmetric-normalized adjacency plus its backward (the transposed SpMM),
 i.e. one fwd+bwd of ``A_hat @ X`` with gradient w.r.t. X.
 
+A second section (stderr; skip with BENCH_GAT=0) times the flagship GAT
+teacher attention path (reference ``arxiv_dgl/models.py:196-218``) at the
+teacher shape (3 heads x 250) over the hub-dense attention formulation
+(ops/hub_attention.py): one attention layer fwd+bwd, and the full 3-layer
+GATTeacher fwd+bwd with parameter gradients.
+
 The reference repo ships timing harnesses but records no numbers
 (BASELINE.md "Throughput / memory"), so ``vs_baseline`` here is the fraction
 of single-chip speed-of-light: the HBM-bandwidth roofline for one training
@@ -27,6 +33,7 @@ Measurement hygiene (tunneled TPU backends):
 """
 
 import json
+import os
 import sys
 import time
 
@@ -59,6 +66,83 @@ def _validate(ds, x_np, out_dev, num_check=4096):
     log(f"validation max rel err over {num_check} rows: {err:.2e}")
     if not np.isfinite(err) or err > 1e-3:
         raise SystemExit(f"FATAL: device SpMM mismatch vs host reference ({err})")
+
+
+def bench_gat():
+    """GAT teacher attention at arxiv shape: 1-layer attention fwd+bwd and
+    the full 3-layer GATTeacher fwd+bwd (parameter grads). Results go to
+    stderr; the headline JSON line stays the SpMM metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_gnns_tpu.analysis.microbench import bench_scan
+    from efficient_gnns_tpu.data import synthetic_node_dataset
+    from efficient_gnns_tpu.models import GATTeacher
+    from efficient_gnns_tpu.ops.hub_attention import (
+        hub_gat_attention,
+        supports_hub_attention,
+    )
+
+    H, D = 3, 250
+    t0 = time.time()
+    ds = synthetic_node_dataset(
+        num_nodes=NUM_NODES, num_edges=NUM_EDGES, feat_dim=FEAT_DIM, seed=0,
+        label_smoothing_hops=0, hub_dense="auto", gcn_norm=False,
+    )
+    graph = jax.device_put(ds.graph)
+    assert supports_hub_attention(graph)
+    res_slots = graph.blocking.num_blocks * graph.blocking.eb
+    log(f"GAT graph built in {time.time() - t0:.1f}s "
+        f"(hub residual slots {res_slots})")
+
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.normal(size=(NUM_NODES, H, D)).astype(np.float32))
+    el = jnp.asarray(rng.normal(size=(NUM_NODES, H)).astype(np.float32))
+
+    def layer_fb(graph, c):
+        feat, el = c
+
+        def loss(feat, el):
+            return jnp.sum(hub_gat_attention(graph, feat, el) ** 2)
+
+        _, (df, dl) = jax.value_and_grad(loss, argnums=(0, 1))(feat, el)
+        return (feat + 1e-20 * df, el + 1e-20 * dl)
+
+    dt1 = bench_scan(layer_fb, (feat, el), iters=10, verbose=False, const=graph)
+    # matched-width static-SpMM equivalent: fwd+bwd moves ~4 edge-row HBM
+    # transits of H*D floats
+    sol1 = 4 * NUM_EDGES * H * D * 4 / HBM_BW_BYTES * 1e3
+    log(f"GAT 1-layer attention fwd+bwd: {dt1:.2f} ms "
+        f"(HBM speed-of-light at this width {sol1:.2f} ms, "
+        f"{sol1 / dt1:.2f}x SoL)")
+
+    model = GATTeacher(hidden=D, out_feats=40, num_layers=3, num_heads=H,
+                       use_symmetric_norm=True, use_attn_dst=False)
+    x = jnp.asarray(ds.x)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        graph, x,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def model_fb(const, params):
+        graph, x = const
+
+        def loss(p):
+            logits, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats}, graph, x,
+                training=False,
+            )
+            return jnp.sum(logits ** 2) * 1e-6
+
+        _, grads = jax.value_and_grad(loss)(params)
+        return jax.tree_util.tree_map(lambda p, g: p + 1e-20 * g, params, grads)
+
+    dt3 = bench_scan(model_fb, params, iters=10, verbose=False,
+                     const=(graph, x))
+    log(f"GAT teacher 3-layer fwd+bwd (param grads): {dt3:.2f} ms "
+        f"({1.44e6:.2g} params, {NUM_EDGES} edges, heads x dim = {H}x{D})")
 
 
 def main():
@@ -140,6 +224,13 @@ def main():
 
     log(f"iter {dt * 1e3:.2f} ms, edges/s {edges_per_s:.3e}, "
         f"SoL fraction {vs_baseline:.3f}")
+
+    if os.environ.get("BENCH_GAT", "1") != "0":
+        try:
+            bench_gat()
+        except Exception as ex:  # GAT section is informational
+            log(f"GAT section failed: {type(ex).__name__}: {ex}")
+
     if vs_baseline > 1.0:
         raise SystemExit(
             f"FATAL: measured {vs_baseline:.2f}x of the HBM speed-of-light — "

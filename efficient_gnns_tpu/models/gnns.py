@@ -241,6 +241,7 @@ class RGCN(nn.Module):
         node_type: jnp.ndarray,
         local_node_idx: jnp.ndarray,
         *,
+        typed_graph: Optional[Graph] = None,
         training: bool = False,
     ):
         # inject trainable embeddings for featureless node types
@@ -262,7 +263,7 @@ class RGCN(nn.Module):
                 num_node_types=self.num_node_types,
                 num_edge_types=self.num_edge_types,
                 name=f"conv_{i}",
-            )(graph, h, node_type)
+            )(graph, h, node_type, typed_graph=typed_graph)
             if not last:
                 h = nn.relu(h)
                 h = nn.Dropout(self.dropout, deterministic=not training)(h)

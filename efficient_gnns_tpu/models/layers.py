@@ -304,10 +304,19 @@ class RGCNConv(nn.Module):
     """Relational conv (``mag_pyg/gnn.py:26-71``): per-relation *mean*
     aggregation through no-bias linears plus per-node-type root linears.
 
-    Aggregation order exploits linearity: mean-aggregate per relation first,
-    then apply the relation linear (``mean(W_r x_j) == W_r mean(x_j)``).
-    Relation masking uses per-relation edge weights on the shared typed edge
-    list — one fused SpMM per relation over static shapes.
+    Two execution paths, identical math (``mean(W_r x_j) == W_r mean(x_j)``
+    by linearity; both produce the same ``rel_lin_r`` parameters):
+
+    * ``typed_graph`` (TPU fast path): ONE static-weight blocked SpMM over
+      the relation-typed square layout — senders live at row
+      ``type * n_pad + s`` of the stacked per-relation projections
+      ``[W_0 x; ...; W_{R-1} x]`` and the per-relation mean rides the
+      pre-blocked static weights ``1/deg_type[receiver]``
+      (sampling/saint.py builds this layout per subgraph). Edge
+      enumeration cost is E, not R*E.
+    * fallback: R relation-masked SpMMs over the shared typed edge list
+      (full-edge work per relation — used for full-graph inference where
+      the stacked table would not fit HBM).
     """
 
     features: int
@@ -315,20 +324,34 @@ class RGCNConv(nn.Module):
     num_edge_types: int
 
     @nn.compact
-    def __call__(self, graph: Graph, x, node_type: jnp.ndarray):
-        if graph.edge_type is None:
-            raise ValueError("RGCNConv requires graph.edge_type")
-        out = jnp.zeros((x.shape[0], self.features), dtype=x.dtype)
-        for r in range(self.num_edge_types):
-            sel = (graph.edge_type == r).astype(x.dtype)
-            # per-relation in-degree for the mean; masks carry no gradient
-            deg = spmm(graph, jnp.ones((x.shape[0], 1), x.dtype),
-                       edge_weight=sel, weight_grad=False)
-            agg = spmm(graph, x, edge_weight=sel, weight_grad=False) / jnp.maximum(deg, 1.0)
-            out = out + nn.Dense(
-                self.features, use_bias=False, kernel_init=xavier_uniform,
-                name=f"rel_lin_{r}",
-            )(agg)
+    def __call__(self, graph: Graph, x, node_type: jnp.ndarray,
+                 typed_graph: Optional[Graph] = None):
+        if typed_graph is not None:
+            xw = jnp.concatenate(
+                [
+                    nn.Dense(
+                        self.features, use_bias=False,
+                        kernel_init=xavier_uniform, name=f"rel_lin_{r}",
+                    )(x)
+                    for r in range(self.num_edge_types)
+                ],
+                axis=0,
+            )  # [R * n_pad, F] — row layout matches typed_graph senders
+            out = spmm(typed_graph, xw)[: x.shape[0]]
+        else:
+            if graph.edge_type is None:
+                raise ValueError("RGCNConv requires graph.edge_type")
+            out = jnp.zeros((x.shape[0], self.features), dtype=x.dtype)
+            for r in range(self.num_edge_types):
+                sel = (graph.edge_type == r).astype(x.dtype)
+                # per-relation in-degree for the mean; masks carry no gradient
+                deg = spmm(graph, jnp.ones((x.shape[0], 1), x.dtype),
+                           edge_weight=sel, weight_grad=False)
+                agg = spmm(graph, x, edge_weight=sel, weight_grad=False) / jnp.maximum(deg, 1.0)
+                out = out + nn.Dense(
+                    self.features, use_bias=False, kernel_init=xavier_uniform,
+                    name=f"rel_lin_{r}",
+                )(agg)
         for t in range(self.num_node_types):
             root = nn.Dense(
                 self.features, use_bias=True, kernel_init=xavier_uniform,

@@ -217,9 +217,16 @@ def hub_gat_attention(
 
     # z[s, h] = exp(leaky_relu(el) - m): softmax numerator per sender. The
     # global (per-head) max shift is exact for softmax and stop-gradient.
+    # The -60 floor keeps every z normal-range f32 (z >= 8.7e-27): without
+    # it a receiver whose kept senders sit ~90+ nats below the global max
+    # gets a subnormal denominator, the cotangent g/den overflows to inf,
+    # and inf * z -> NaN poisons the step (observed once per ~100 epochs at
+    # arxiv scale). Semantics change only for receivers *entirely* >60 nats
+    # below the global max — their edge weights flatten toward uniform,
+    # the documented deviation from exact per-segment softmax.
     e = jax.nn.leaky_relu(el.astype(jnp.float32), negative_slope)
     m = jax.lax.stop_gradient(jnp.max(e, axis=0, keepdims=True))
-    z = jnp.exp(e - m)  # [N, H]
+    z = jnp.exp(jnp.maximum(e - m, -60.0))  # [N, H]
 
     # one concatenated pipeline: y = [z * x (head-major, 128-padded) | z]
     zx = feat_src.astype(jnp.float32) * z[:, :, None]
@@ -257,10 +264,38 @@ def hub_gat_attention(
 
     num = total[:n, : h * dp].reshape(n, h, dp)[:, :, :d]
     den = total[:n, h * dp : h * dp + h]  # [N, H]
-    # a receiver whose kept-edge set is empty (every in-edge dropped) gets 0
-    # output AND zero gradient — DGL's empty-segment edge_softmax semantics.
-    # A plain max(den, tiny) guard would put 1/tiny in the cotangent and blow
-    # up the first backward pass.
+    return _normalize(num, den).astype(feat_src.dtype)
+
+
+@jax.custom_vjp
+def _normalize(num, den):
+    """``num / den`` per (node, head), 0 (with zero gradient) for empty
+    segments — DGL's empty-segment edge_softmax semantics.
+
+    Custom VJP because autodiff of a plain division computes
+    ``dden = -g * num / den**2`` and ``den**2`` underflows to 0 for
+    ``den < ~1e-19`` (tiny-but-nonzero denominators are routine once
+    training sharpens the attention logits), sending inf/NaN into the
+    parameters — observed as a sudden single-step NaN at arxiv scale. The
+    backward here reuses the forward output, so ``den`` is only ever
+    reciprocated once: ``dden = -(g . out) / den``, bounded whenever
+    ``out`` is."""
     pos = (den > 0.0)[:, :, None]
-    out = jnp.where(pos, num, 0.0) / jnp.where(pos, den[:, :, None], 1.0)
-    return out.astype(feat_src.dtype)
+    return jnp.where(pos, num, 0.0) / jnp.where(pos, den[:, :, None], 1.0)
+
+
+def _normalize_fwd(num, den):
+    out = _normalize(num, den)
+    return out, (out, den)
+
+
+def _normalize_bwd(res, g):
+    out, den = res
+    pos = (den > 0.0)[:, :, None]
+    inv = jnp.where(pos, 1.0, 0.0) / jnp.where(pos, den[:, :, None], 1.0)
+    dnum = g * inv
+    dden = -jnp.sum(g * out, axis=-1) * inv[:, :, 0]
+    return dnum, dden
+
+
+_normalize.defvjp(_normalize_fwd, _normalize_bwd)

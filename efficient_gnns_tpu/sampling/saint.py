@@ -28,6 +28,11 @@ class SaintSubgraph(NamedTuple):
     node_ids: np.ndarray  # int64 [node_budget] global ids (0 for padding)
     num_nodes: int  # valid node count
     dropped_edges: int  # edges over budget (0 in practice)
+    # relation-typed square layout for the single-pass R-GCN SpMM
+    # (models/layers.py RGCNConv typed path): senders live at row
+    # ``edge_type * node_budget + s`` and static edge weights carry the
+    # per-relation mean normalization 1/deg_type[receiver].
+    typed_graph: Optional[Graph] = None
 
 
 class GraphSaintRandomWalkSampler:
@@ -42,13 +47,23 @@ class GraphSaintRandomWalkSampler:
         edge_type: Optional[np.ndarray] = None,
         num_edge_types: int = 0,
         seed: int = 0,
+        block: bool = False,
+        typed_square: bool = False,
     ):
+        """``block=True`` builds the Pallas edge blockings for every sampled
+        subgraph (static budgets keep the compiled step stable);
+        ``typed_square=True`` additionally builds the relation-typed square
+        graph for the single-pass R-GCN SpMM (requires ``edge_type``)."""
         self.num_nodes = int(num_nodes)
         self.batch_size = int(batch_size)
         self.walk_length = int(walk_length)
         self.node_budget = self.batch_size * (self.walk_length + 1)
         self.edge_type = None if edge_type is None else np.asarray(edge_type)
         self.num_edge_types = num_edge_types
+        self.block = bool(block)
+        self.typed_square = bool(typed_square)
+        if self.typed_square and self.edge_type is None:
+            raise ValueError("typed_square requires edge_type")
         self.rng = np.random.default_rng(seed)
 
         # CSR over senders (out-adjacency) for the walk
@@ -147,8 +162,29 @@ class GraphSaintRandomWalkSampler:
             pad_nodes_to=self.node_budget,
             pad_edges_to=self.edge_budget,
             n_node_valid=k,
+            block=self.block,
+            hub_dense=0,
         )
+        typed_graph = None
+        if self.typed_square:
+            nb, nr = self.node_budget, self.num_edge_types
+            # per-(relation, receiver) in-degree -> mean normalization as
+            # STATIC edge weights (pre-blocked at build; reference semantics
+            # mag_pyg/gnn.py:54-65 per-relation scatter-mean)
+            cell = et.astype(np.int64) * nb + r_loc
+            deg = np.bincount(cell, minlength=nr * nb)
+            w = 1.0 / np.maximum(deg[cell], 1)
+            typed_graph = build_graph(
+                s_loc + et.astype(np.int64) * nb,
+                r_loc,
+                num_nodes=nr * nb,
+                edge_weight=w,
+                pad_edges_to=self.edge_budget,
+                n_node_valid=k,
+                block=self.block,
+                hub_dense=0,
+            )
         node_ids = np.zeros(self.node_budget, dtype=np.int64)
         node_ids[:k] = nodes
         return SaintSubgraph(graph=graph, node_ids=node_ids, num_nodes=k,
-                             dropped_edges=dropped)
+                             dropped_edges=dropped, typed_graph=typed_graph)
