@@ -71,13 +71,18 @@ def _validate(ds, x_np, out_dev, num_check=4096):
 def bench_gat():
     """GAT teacher attention at arxiv shape: 1-layer attention fwd+bwd and
     the full 3-layer GATTeacher fwd+bwd (parameter grads). Results go to
-    stderr; the headline JSON line stays the SpMM metric."""
+    stderr; the headline JSON line stays the SpMM metric.
+
+    Runs in its own process (see main's subprocess dispatch): the SpMM
+    section's resident buffers plus the 3-layer model OOMed a shared
+    process in round 3 (BENCH_r03 RESOURCE_EXHAUSTED)."""
     import jax
     import jax.numpy as jnp
 
     from efficient_gnns_tpu.analysis.microbench import bench_scan
     from efficient_gnns_tpu.data import synthetic_node_dataset
     from efficient_gnns_tpu.models import GATTeacher
+    from efficient_gnns_tpu.ops import dispatch
     from efficient_gnns_tpu.ops.hub_attention import (
         hub_gat_attention,
         supports_hub_attention,
@@ -99,6 +104,23 @@ def bench_gat():
     feat = jnp.asarray(rng.normal(size=(NUM_NODES, H, D)).astype(np.float32))
     el = jnp.asarray(rng.normal(size=(NUM_NODES, H)).astype(np.float32))
 
+    # message-dtype accuracy: bf16 messages (the shipping default) vs f32.
+    # A FRESH jit per dtype — the dispatch state is read at trace time, so
+    # reusing one jitted fn would return the cached-dtype result twice.
+    def _run_with(dt):
+        dispatch.set_backend(hub_message_dtype=dt)
+        f = jax.jit(lambda g, ft, e: hub_gat_attention(g, ft, e))
+        return np.asarray(f(graph, feat, el))
+
+    out16 = _run_with(jnp.bfloat16)
+    out32 = _run_with(jnp.float32)
+    dispatch.set_backend(hub_message_dtype=jnp.bfloat16)
+    err = np.max(np.abs(out16 - out32) / (1.0 + np.abs(out32)))
+    log(f"GAT attention bf16-vs-f32 messages max rel err: {err:.2e}")
+    if err == 0.0 or not np.isfinite(err):
+        raise SystemExit("FATAL: bf16-vs-f32 comparison degenerate")
+    del out16, out32
+
     def layer_fb(graph, c):
         feat, el = c
 
@@ -110,7 +132,8 @@ def bench_gat():
 
     dt1 = bench_scan(layer_fb, (feat, el), iters=10, verbose=False, const=graph)
     # matched-width static-SpMM equivalent: fwd+bwd moves ~4 edge-row HBM
-    # transits of H*D floats
+    # transits of H*D float32s (kept at 4 bytes across rounds so the SoL
+    # fraction stays comparable; bf16 messages can therefore exceed 1x)
     sol1 = 4 * NUM_EDGES * H * D * 4 / HBM_BW_BYTES * 1e3
     log(f"GAT 1-layer attention fwd+bwd: {dt1:.2f} ms "
         f"(HBM speed-of-light at this width {sol1:.2f} ms, "
@@ -145,8 +168,36 @@ def bench_gat():
         f"({1.44e6:.2g} params, {NUM_EDGES} edges, heads x dim = {H}x{D})")
 
 
+def _ensure_native():
+    """Build the C++ host library if a toolchain exists (graph build is
+    minutes-scale in pure NumPy, seconds with it — BENCH_r03 spent 728 s
+    here before measuring anything)."""
+    from efficient_gnns_tpu.native import host
+
+    if not host.available():
+        host.build(quiet=True)
+    log(f"native host library: "
+        f"{'active' if host.available() else 'unavailable (NumPy fallback)'}")
+
+
 def main():
     t_start = time.time()
+    _ensure_native()
+    if os.environ.get("BENCH_GAT", "1") != "0":
+        # GAT section runs first, in its own process, before this process
+        # initializes the (possibly exclusive) TPU: full HBM for the
+        # 3-layer model, no resident SpMM buffers (round 3's
+        # shared-process run died RESOURCE_EXHAUSTED)
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", "gat"],
+            stdout=sys.stderr, stderr=sys.stderr, timeout=1800,
+        )
+        if r.returncode != 0:
+            log(f"GAT section failed: subprocess exit {r.returncode}")
+        t_start = time.time()  # init timing excludes the GAT subprocess
+
     import jax
     import jax.numpy as jnp
 
@@ -225,12 +276,6 @@ def main():
     log(f"iter {dt * 1e3:.2f} ms, edges/s {edges_per_s:.3e}, "
         f"SoL fraction {vs_baseline:.3f}")
 
-    if os.environ.get("BENCH_GAT", "1") != "0":
-        try:
-            bench_gat()
-        except Exception as ex:  # GAT section is informational
-            log(f"GAT section failed: {type(ex).__name__}: {ex}")
-
     if vs_baseline > 1.0:
         raise SystemExit(
             f"FATAL: measured {vs_baseline:.2f}x of the HBM speed-of-light — "
@@ -245,4 +290,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--section" and sys.argv[2] == "gat":
+        _ensure_native()
+        bench_gat()
+    else:
+        main()

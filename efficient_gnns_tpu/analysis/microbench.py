@@ -130,3 +130,113 @@ def bench_scan(fn, init, iters: int = 30, label: str = "",
     if verbose and label:
         print(f"{label}: {dt:.3f} ms", flush=True)
     return dt
+
+
+def _gat_step_main(args) -> None:
+    """Time the GAT-teacher train/eval step at arxiv shape on the current
+    backend — the committed, reproducible form of the step-time measurements
+    cited in commit messages (hub attention: 1287 ms -> ~350 ms/step).
+
+        python -m efficient_gnns_tpu.analysis.microbench gat-step \
+            --which train --trace --hub auto
+
+    ``--trace`` additionally captures a jax.profiler trace and prints the
+    per-op device-time attribution (analysis/timing.py::summarize_trace).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_gnns_tpu.data import synthetic_node_dataset
+    from efficient_gnns_tpu.ops import dispatch
+    from efficient_gnns_tpu.train.gat_teacher import (
+        GATTeacherTrainer,
+        TeacherConfig,
+    )
+
+    if args.msg_dtype:
+        dispatch.set_backend(
+            hub_message_dtype=getattr(jnp, args.msg_dtype),
+            message_dtype=getattr(jnp, args.msg_dtype),
+        )
+    print(f"device: {jax.devices()[0]}", flush=True)
+    t0 = time.time()
+    hub = "auto" if args.hub == "auto" else int(args.hub)
+    builder = lambda: synthetic_node_dataset(
+        num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42,
+        hub_dense=hub, gcn_norm=False, label_smoothing_hops=0,
+    )
+    ds = cached_graph(
+        f"arxiv_gat_hub_{args.hub}", builder) if args.cache else builder()
+    print(f"graph built in {time.time() - t0:.1f}s "
+          f"(hub={'on' if ds.graph.hub is not None else 'off'})", flush=True)
+
+    cfg = TeacherConfig(n_label_iters=1, use_labels=True, edge_drop=0.3,
+                        input_drop=0.25, no_attn_dst=True, use_norm=True)
+    trainer = GATTeacherTrainer(cfg, ds.graph, ds.x, ds.y, ds.split_idx,
+                                ds.num_classes, seed=0)
+    print(f"params {trainer.num_params()}", flush=True)
+
+    rng = jax.random.PRNGKey(0)
+    if args.which == "train":
+        state = trainer.state
+
+        def run(i, state):
+            state, m = trainer._train_step(
+                state, jax.random.fold_in(rng, i), trainer.graph, trainer.x)
+            return state, m["loss"]
+    else:
+        def run(i, state):
+            out = trainer._eval_step(trainer.state.params,
+                                     trainer.state.batch_stats,
+                                     trainer.graph, trainer.x)
+            return state, out[0]
+
+    t0 = time.time()
+    state, sync = run(0, trainer.state)
+    jax.block_until_ready(sync)
+    print(f"{args.which} step compile+first {time.time() - t0:.1f}s", flush=True)
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(args.iters):
+            state, sync = run(i, state)
+        jax.block_until_ready(sync)
+        print(f"{args.which} step: "
+              f"{(time.time() - t0) / args.iters * 1e3:.1f} ms", flush=True)
+
+    if args.trace:
+        from efficient_gnns_tpu.analysis.timing import (
+            capture_trace,
+            summarize_trace,
+        )
+
+        trace_dir = capture_trace(
+            lambda s: run(0, s)[1], state,
+            trace_dir=f"/tmp/gat_trace_{args.which}", steps=2,
+        )
+        summarize_trace(trace_dir)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser("efficient_gnns_tpu microbench")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gat-step", help="GAT teacher step time at arxiv shape")
+    g.add_argument("--which", choices=["train", "eval"], default="train")
+    g.add_argument("--num-nodes", type=int, default=169_343)
+    g.add_argument("--num-edges", type=int, default=1_166_243)
+    g.add_argument("--hub", default="auto")
+    g.add_argument("--iters", type=int, default=5)
+    g.add_argument("--msg-dtype", default=None,
+                   help="override message dtypes (float32|bfloat16)")
+    g.add_argument("--trace", action="store_true",
+                   help="capture + summarize a jax.profiler trace")
+    g.add_argument("--cache", action="store_true",
+                   help="cache the built graph under logs/cache")
+    args = p.parse_args(argv)
+    if args.cmd == "gat-step":
+        _gat_step_main(args)
+
+
+if __name__ == "__main__":
+    main()

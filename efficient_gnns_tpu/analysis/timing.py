@@ -94,3 +94,42 @@ def capture_trace(
                 out = jfn(*args)
         jax.block_until_ready(out)
     return trace_dir
+
+
+def summarize_trace(trace_dir: str, top: int = 30) -> Dict[str, float]:
+    """Aggregate device-op durations (ms) by op name from a profiler trace.
+
+    Parses the ``*.trace.json.gz`` files :func:`capture_trace` wrote and sums
+    complete-event durations on TPU device tracks — the per-kernel ceiling
+    attribution behind the bench's speed-of-light analysis. Returns
+    ``{op_name: total_ms}`` including a ``"__total__"`` entry, and prints the
+    ``top`` heaviest ops.
+    """
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    by_name: Dict[str, float] = defaultdict(float)
+    total = 0.0
+    for path in glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True):
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        events = data.get("traceEvents", [])
+        pid_names = {}
+        for ev in events:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_names[ev["pid"]] = ev["args"].get("name", "")
+        device_pids = {
+            p for p, n in pid_names.items() if "TPU" in n or "tpu" in n
+        }
+        for ev in events:
+            if ev.get("ph") == "X" and ev.get("pid") in device_pids:
+                dur = ev.get("dur", 0) / 1e3  # us -> ms
+                by_name[ev.get("name", "?")] += dur
+                total += dur
+    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {dur:8.2f} ms  {name[:110]}", flush=True)
+    out = dict(by_name)
+    out["__total__"] = total
+    return out

@@ -215,8 +215,14 @@ def main(argv=None):
                         f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}",
                         flush=True,
                     )
+            prev_done = epoch - 1
             epoch += k
-            if args.checkpoint_every and (epoch - 1) % args.checkpoint_every == 0:
+            # checkpoint whenever this chunk crossed a checkpoint_every
+            # boundary — chunk size and cadence need not be aligned
+            if args.checkpoint_every and (
+                (epoch - 1) // args.checkpoint_every
+                > prev_done // args.checkpoint_every
+            ):
                 trainer.save_checkpoint(ckpt_path)
         if args.checkpoint_every:
             trainer.save_checkpoint(ckpt_path)

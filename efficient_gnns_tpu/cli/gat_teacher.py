@@ -125,18 +125,26 @@ def main(argv=None):
         while epoch <= args.n_epochs:
             k = min(args.epoch_chunk, args.n_epochs - epoch + 1)
             best, hist = trainer.run_epochs(epoch, k, best)
+            hist = np.asarray(hist)
+            done = epoch + k - 1
+            # per-epoch cadence from the on-host hist, honoring --log-every
+            # (epochs inside a chunk are logged retroactively at the chunk
+            # boundary — the data is exact, only the print is deferred)
+            for i in range(k):
+                ep = epoch + i
+                if ep % args.log_every != 0 and ep != args.n_epochs:
+                    continue
+                h = hist[i]
+                print(
+                    f"Run {run}/{args.n_runs} Epoch {ep}/{args.n_epochs} "
+                    f"avg-epoch {(time.time() - t0) / done:.2f}s "
+                    f"loss {h[0]:.4f} "
+                    f"train/val/test {h[2]:.4f}/{h[3]:.4f}/{h[4]:.4f} "
+                    f"best-val {float(best['val_acc']):.4f} "
+                    f"final-test {float(best['test_acc']):.4f}",
+                    flush=True,
+                )
             epoch += k
-            h = np.asarray(hist[-1])
-            done = epoch - 1
-            print(
-                f"Run {run}/{args.n_runs} Epoch {done}/{args.n_epochs} "
-                f"avg-epoch {(time.time() - t0) / done:.2f}s "
-                f"loss {h[0]:.4f} "
-                f"train/val/test {h[2]:.4f}/{h[3]:.4f}/{h[4]:.4f} "
-                f"best-val {float(best['val_acc']):.4f} "
-                f"final-test {float(best['test_acc']):.4f}",
-                flush=True,
-            )
         best_val_acc = float(best["val_acc"])
         final_test_acc = float(best["test_acc"])
         final = (np.asarray(best["logits"]), np.asarray(best["feats"]))

@@ -233,6 +233,15 @@ def _inverse_perm(
     return inv
 
 
+def max_blocks(num_nodes: int, num_edges_padded: int, tm: int, eb: int) -> int:
+    """Upper bound on the block count of ANY edge list with these budgets:
+    every row tile owns at least one (possibly partial) block, and at most
+    ``ceil(E_pad / eb)`` further blocks are fully packed. Use as
+    ``pad_blocks_to`` to give samplers a sample-independent static shape."""
+    num_tiles = -(-num_nodes // tm)
+    return num_tiles + -(-num_edges_padded // eb)
+
+
 def build_blocking(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -242,6 +251,7 @@ def build_blocking(
     eb: int = 512,
     edge_weight: np.ndarray = None,
     order_to_csr: np.ndarray = None,
+    pad_blocks_to: int = None,
 ) -> EdgeBlocking:
     """Blocks a receiver-sorted (possibly padded) edge list.
 
@@ -251,6 +261,13 @@ def build_blocking(
     into the blocked layout (see ``EdgeBlocking.w_blk``). ``order_to_csr``
     maps this edge order to the canonical CSR order (pass the csc
     permutation when blocking the transpose graph).
+
+    ``pad_blocks_to``: pad the block count to a static value with all-padding
+    blocks appended after the last tile's blocks (``first_flag=0``, same
+    ``tile_idx`` — the resident output tile re-accumulates zeros, a no-op for
+    the scatter kernel). The block count is otherwise data-dependent, which
+    would retrace a jitted step for every sampled subgraph; samplers pass
+    :func:`max_blocks` here.
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
@@ -265,63 +282,64 @@ def build_blocking(
     )
     if arrays is not None:  # C++ builder (native/gnns_host.cc)
         tile_idx, first_flag, edge_id, src, dst_local = arrays
-        nb = tile_idx.shape[0]
-        w_blk = None
-        if edge_weight is not None:
-            w_blk = jnp.asarray(_pre_block_weights(
-                edge_weight, edge_id, dst_local, num_edges_padded, nb, eb, tm
-            ))
-        csr_perm = None
-        mapping = edge_id
-        if order_to_csr is not None:
-            mapping = _compose_csr_perm(order_to_csr, edge_id, num_edges_padded)
-            csr_perm = jnp.asarray(mapping)
-        inv = _inverse_perm(
-            mapping, np.asarray(dst_local).reshape(-1), tm, num_edges_padded
+        dst_local = np.asarray(dst_local).reshape(-1)
+    else:
+        r = receivers[:e]
+        # per-tile edge counts (edges sorted by receiver => contiguous/tile)
+        tile_of_edge = r // tm
+        counts = np.bincount(tile_of_edge, minlength=num_tiles)
+        blocks_per_tile = np.maximum(1, -(-counts // eb))
+        nb = int(blocks_per_tile.sum())
+
+        tile_idx = np.repeat(
+            np.arange(num_tiles, dtype=np.int32), blocks_per_tile
         )
-        return EdgeBlocking(
-            tile_idx=jnp.asarray(tile_idx),
-            first_flag=jnp.asarray(first_flag),
-            edge_id=jnp.asarray(edge_id),
-            src=jnp.asarray(src),
-            dst_local=jnp.asarray(dst_local),
-            w_blk=w_blk,
-            csr_perm=csr_perm,
-            inv_perm=jnp.asarray(inv),
-            tm=tm,
-            eb=eb,
-            num_tiles=num_tiles,
-        )
+        first_flag = np.zeros(nb, dtype=np.int32)
+        first_flag[np.cumsum(blocks_per_tile) - blocks_per_tile] = 1
 
-    r = receivers[:e]
-    # per-tile edge counts (edges sorted by receiver => contiguous per tile)
-    tile_of_edge = r // tm
-    counts = np.bincount(tile_of_edge, minlength=num_tiles)
-    blocks_per_tile = np.maximum(1, -(-counts // eb))
-    nb = int(blocks_per_tile.sum())
+        edge_id = np.full(nb * eb, num_edges_padded, dtype=np.int32)
+        dst_local = np.full(nb * eb, tm, dtype=np.int32)
+        edge_starts = np.zeros(num_tiles + 1, dtype=np.int64)
+        np.cumsum(counts, out=edge_starts[1:])
+        block_start = np.zeros(num_tiles + 1, dtype=np.int64)
+        np.cumsum(blocks_per_tile, out=block_start[1:])
+        for t in range(num_tiles):
+            cnt = counts[t]
+            if cnt == 0:
+                continue
+            src_lo = edge_starts[t]
+            dst_lo = block_start[t] * eb
+            edge_id[dst_lo : dst_lo + cnt] = np.arange(src_lo, src_lo + cnt)
+            dst_local[dst_lo : dst_lo + cnt] = r[src_lo : src_lo + cnt] - t * tm
 
-    tile_idx = np.repeat(np.arange(num_tiles, dtype=np.int32), blocks_per_tile)
-    first_flag = np.zeros(nb, dtype=np.int32)
-    first_flag[np.cumsum(blocks_per_tile) - blocks_per_tile] = 1
+        src = np.zeros(nb * eb, dtype=np.int32)
+        has = dst_local < tm
+        src[has] = senders[edge_id[has]]
 
-    edge_id = np.full(nb * eb, num_edges_padded, dtype=np.int32)
-    dst_local = np.full(nb * eb, tm, dtype=np.int32)
-    edge_starts = np.zeros(num_tiles + 1, dtype=np.int64)
-    np.cumsum(counts, out=edge_starts[1:])
-    block_start = np.zeros(num_tiles + 1, dtype=np.int64)
-    np.cumsum(blocks_per_tile, out=block_start[1:])
-    for t in range(num_tiles):
-        cnt = counts[t]
-        if cnt == 0:
-            continue
-        src_lo = edge_starts[t]
-        dst_lo = block_start[t] * eb
-        edge_id[dst_lo : dst_lo + cnt] = np.arange(src_lo, src_lo + cnt)
-        dst_local[dst_lo : dst_lo + cnt] = r[src_lo : src_lo + cnt] - t * tm
-
-    src = np.zeros(nb * eb, dtype=np.int32)
-    has = dst_local < tm
-    src[has] = senders[edge_id[has]]
+    nb = tile_idx.shape[0]
+    if pad_blocks_to is not None:
+        if nb > pad_blocks_to:
+            raise ValueError(
+                f"blocking produced {nb} blocks > pad_blocks_to="
+                f"{pad_blocks_to}; raise the budget (see max_blocks)"
+            )
+        if nb < pad_blocks_to:
+            extra = pad_blocks_to - nb
+            tile_idx = np.concatenate([
+                tile_idx,
+                np.full(extra, num_tiles - 1, dtype=np.int32),
+            ])
+            first_flag = np.concatenate(
+                [first_flag, np.zeros(extra, dtype=np.int32)]
+            )
+            edge_id = np.concatenate([
+                edge_id, np.full(extra * eb, num_edges_padded, dtype=np.int32)
+            ])
+            src = np.concatenate([src, np.zeros(extra * eb, dtype=np.int32)])
+            dst_local = np.concatenate(
+                [dst_local, np.full(extra * eb, tm, dtype=np.int32)]
+            )
+            nb = pad_blocks_to
 
     w_blk = None
     if edge_weight is not None:

@@ -203,27 +203,49 @@ def build_hub_dense(
     dst_rows = hl_d[r_csr[dst_eids]].astype(np.int32)
     dst_cols = s_csr[dst_eids].astype(np.int32)
 
-    m_src = np.zeros((n_pad, hs), np.float32)
-    np.add.at(m_src, (src_rows, src_cols), w[src_eids])
-    m_dst = np.zeros((hd, n_pad), np.float32)
-    np.add.at(m_dst, (dst_rows, dst_cols), w[dst_eids])
-    if edge_weight is None:
-        # multiplicities are small integers — exact in bfloat16 and half the
-        # HBM/compile-transfer footprint (hub attention casts per step anyway)
-        m_src = m_src.astype(jnp.bfloat16)
-        m_dst = m_dst.astype(jnp.bfloat16)
+    # Materialize the dense slices ON DEVICE from the (already device-bound)
+    # refill indices: the slices are the dominant upload of a hub graph
+    # (2 * n_pad * 256 * 4 B ~ 350 MB at arxiv shape) while the scatter
+    # inputs are ~25 MB — through a tunneled TPU backend the host->device
+    # transfer, not the host build, is what costs minutes (measured ~37 MB/s
+    # with multi-second flush stalls under relay load).
+    d_src_rows = jnp.asarray(src_rows)
+    d_src_cols = jnp.asarray(src_cols)
+    d_src_eids = jnp.asarray(src_eids)
+    d_dst_rows = jnp.asarray(dst_rows)
+    d_dst_cols = jnp.asarray(dst_cols)
+    d_dst_eids = jnp.asarray(dst_eids)
+    d_w = jnp.asarray(w)
+    # multiplicities are small integers — exact in bfloat16 and half the
+    # HBM footprint (hub attention casts per step anyway)
+    out_dtype = jnp.bfloat16 if edge_weight is None else jnp.float32
+
+    @jax.jit
+    def _fill(w, src_rows, src_cols, src_eids, dst_rows, dst_cols, dst_eids):
+        m_src = (
+            jnp.zeros((n_pad, hs), jnp.float32)
+            .at[src_rows, src_cols].add(w[src_eids])
+        )
+        m_dst = (
+            jnp.zeros((hd, n_pad), jnp.float32)
+            .at[dst_rows, dst_cols].add(w[dst_eids])
+        )
+        return m_src.astype(out_dtype), m_dst.astype(out_dtype)
+
+    m_src, m_dst = _fill(d_w, d_src_rows, d_src_cols, d_src_eids,
+                         d_dst_rows, d_dst_cols, d_dst_eids)
 
     hub = HubDense(
         hub_src=jnp.asarray(hub_src),
-        m_src=jnp.asarray(m_src),
+        m_src=m_src,
         hub_dst=jnp.asarray(hub_dst),
-        m_dst=jnp.asarray(m_dst),
-        src_rows=jnp.asarray(src_rows),
-        src_cols=jnp.asarray(src_cols),
-        src_eids=jnp.asarray(src_eids),
-        dst_rows=jnp.asarray(dst_rows),
-        dst_cols=jnp.asarray(dst_cols),
-        dst_eids=jnp.asarray(dst_eids),
+        m_dst=m_dst,
+        src_rows=d_src_rows,
+        src_cols=d_src_cols,
+        src_eids=d_src_eids,
+        dst_rows=d_dst_rows,
+        dst_cols=d_dst_cols,
+        dst_eids=d_dst_eids,
         unit_values=edge_weight is None,
     )
     return hub, ~(src_mask | dst_mask)

@@ -75,6 +75,7 @@ def build_graph(
     block: bool = False,
     block_tm: int = 256,
     block_eb: Optional[int] = None,
+    block_pad_to: Optional[int] = None,
     hub_dense="auto",
     gcn_norm: bool = False,
 ) -> Graph:
@@ -92,6 +93,9 @@ def build_graph(
         when the node set itself is padded.
       block: also build the Pallas edge blockings (graphs/blocking.py) from
         the host arrays before device upload.
+      block_pad_to: pad both blockings' block counts to this static value
+        (see ``blocking.max_blocks``) — samplers building one graph per step
+        need sample-independent shapes or the jitted step retraces.
       gcn_norm: compute the symmetric GCN normalization
         ``d_r^-1/2 * d_s^-1/2`` host-side (NumPy) and attach it as
         ``edge_weight`` — identical result to calling
@@ -228,12 +232,14 @@ def build_graph(
             _pad_b(s_b), _pad_b(r_b), n_pad, e_b_pad,
             tm=block_tm, eb=eb, edge_weight=_pad_w(ew_b),
             order_to_csr=_pad_order(order_fwd),
+            pad_blocks_to=block_pad_to,
         )
         t_blocking = build_blocking(
             _pad_b(t_s_b), _pad_b(t_r_b), n_pad, e_b_pad,
             tm=block_tm, eb=eb,
             edge_weight=_pad_w(ew_t_b),
             order_to_csr=_pad_order(order_t),
+            pad_blocks_to=block_pad_to,
         )
         from efficient_gnns_tpu.graphs.blocking import attach_cross_perm
 

@@ -35,12 +35,26 @@ per-edge-iid by Bernoulli keep masks applied to the static structure:
   ids, so both layouts see an identical kept-edge set with zero cross-layout
   permutation traffic.
 
+Hub edge-drop granularity caveat: the dense-grid mask is Bernoulli per
+*(receiver, hub-sender) cell*, not per parallel edge — multi-edges that were
+accumulated into one cell (multiplicity >= 2) are kept or dropped jointly.
+Graphs built through :func:`graphs.preprocess.build_graph` with
+``bidirected=True`` are deduplicated, so every cell holds at most one edge
+and the mask is exactly per-edge iid; only hand-built multigraphs see the
+joint-drop deviation. Grid cells are hashed row-then-column (two rounds of
+the avalanche hash), so there is no uint32 index wrap at any graph size.
+
 Numerical stability uses a *global* per-head max (``stop_gradient``) instead
 of the per-destination segment max: mathematically identical (softmax is
 invariant to any constant shift; a global constant is constant within every
 segment), and safe in float32/bfloat16 range unless per-head logit spread
 exceeds ~80 nats (never observed in GAT training; the denominator is
 guarded). This is the documented deviation from ``dgl.ops.edge_softmax``.
+
+Messages ride in ``dispatch.hub_message_dtype()`` — default bfloat16 with
+float32 accumulation (halves the path's HBM traffic; ~1e-2 max rel err vs
+float32 at arxiv shape, see bench.py's error line). Pin
+``set_backend(hub_message_dtype=jnp.float32)`` for exactness tests.
 """
 
 from __future__ import annotations
@@ -89,12 +103,16 @@ def edge_keep_mask(eids: jnp.ndarray, seed: jnp.ndarray, keep_prob: float,
 
 def _grid_keep_mask(rows: int, cols: int, seed: jnp.ndarray, keep_prob: float,
                     salt: int) -> jnp.ndarray:
-    """bool[rows, cols] iid Bernoulli(keep_prob) over a dense hub grid."""
-    cell = (
-        jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 0) * jnp.uint32(cols)
-        + jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 1)
+    """bool[rows, cols] iid Bernoulli(keep_prob) over a dense hub grid.
+
+    Row and column indices are hashed in two chained rounds instead of a
+    single ``row * cols + col`` cell id, so the mask never aliases from
+    uint32 index wrap however large the grid is."""
+    hrow = _hash_u32(
+        jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 0)
+        ^ (seed + jnp.uint32(salt))
     )
-    h = _hash_u32(cell ^ (seed + jnp.uint32(salt)))
+    h = _hash_u32(hrow ^ jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 1))
     return h < jnp.uint32(_keep_thresh(keep_prob))
 
 
@@ -204,13 +222,19 @@ def hub_gat_attention(
     """
     from efficient_gnns_tpu.ops import dispatch
 
-    assert supports_hub_attention(graph), "graph lacks hub attention layouts"
+    if not supports_hub_attention(graph):
+        raise ValueError(
+            "graph lacks hub attention layouts — build it with "
+            "block=True, hub_dense>0 and no static edge weights "
+            "(see supports_hub_attention)"
+        )
     hub = graph.hub
     blk, tblk = graph.blocking, graph.t_blocking
     n_pad = graph.num_nodes
     n, h, d = feat_src.shape
     dp = ((d + 127) // 128) * 128
-    md = dispatch.message_dtype()
+    hp = ((h + 127) // 128) * 128  # lane-padded head count for the z columns
+    md = dispatch.hub_message_dtype()
     interpret = dispatch.interpret_mode()
     keep_prob = 1.0 - float(edge_drop)
     dropping = drop_seed is not None and edge_drop > 0.0
@@ -232,7 +256,7 @@ def hub_gat_attention(
     zx = feat_src.astype(jnp.float32) * z[:, :, None]
     if dp != d:
         zx = jnp.pad(zx, ((0, 0), (0, 0), (0, dp - d)))
-    zpad = jnp.pad(z, ((0, 0), (0, 128 - h)))
+    zpad = jnp.pad(z, ((0, 0), (0, hp - h)))
     y = jnp.concatenate([zx.reshape(n, h * dp), zpad], axis=-1)
     if n_pad > n:
         y = jnp.pad(y, ((0, n_pad - n), (0, 0)))
@@ -263,7 +287,7 @@ def hub_gat_attention(
     )
 
     num = total[:n, : h * dp].reshape(n, h, dp)[:, :, :d]
-    den = total[:n, h * dp : h * dp + h]  # [N, H]
+    den = total[:n, h * dp : h * dp + h]  # [N, H] (first h of the hp block)
     return _normalize(num, den).astype(feat_src.dtype)
 
 

@@ -64,6 +64,7 @@ class GraphSaintRandomWalkSampler:
         self.typed_square = bool(typed_square)
         if self.typed_square and self.edge_type is None:
             raise ValueError("typed_square requires edge_type")
+        self.block_tm, self.block_eb = 256, 512
         self.rng = np.random.default_rng(seed)
 
         # CSR over senders (out-adjacency) for the walk
@@ -153,6 +154,19 @@ class GraphSaintRandomWalkSampler:
         et = None
         if self.edge_type is not None:
             et = self.edge_type[eid]
+        # static block budgets: every sampled subgraph must produce the SAME
+        # array shapes or the jitted train step retraces per sample
+        from efficient_gnns_tpu.graphs.blocking import max_blocks
+
+        blk_kwargs = {}
+        if self.block:
+            blk_kwargs = dict(
+                block_tm=self.block_tm, block_eb=self.block_eb,
+                block_pad_to=max_blocks(
+                    self.node_budget, self.edge_budget,
+                    self.block_tm, self.block_eb,
+                ),
+            )
         graph = build_graph(
             s_loc,
             r_loc,
@@ -164,6 +178,7 @@ class GraphSaintRandomWalkSampler:
             n_node_valid=k,
             block=self.block,
             hub_dense=0,
+            **blk_kwargs,
         )
         typed_graph = None
         if self.typed_square:
@@ -174,6 +189,10 @@ class GraphSaintRandomWalkSampler:
             cell = et.astype(np.int64) * nb + r_loc
             deg = np.bincount(cell, minlength=nr * nb)
             w = 1.0 / np.maximum(deg[cell], 1)
+            if self.block:
+                blk_kwargs["block_pad_to"] = max_blocks(
+                    nr * nb, self.edge_budget, self.block_tm, self.block_eb
+                )
             typed_graph = build_graph(
                 s_loc + et.astype(np.int64) * nb,
                 r_loc,
@@ -183,6 +202,7 @@ class GraphSaintRandomWalkSampler:
                 n_node_valid=k,
                 block=self.block,
                 hub_dense=0,
+                **blk_kwargs,
             )
         node_ids = np.zeros(self.node_budget, dtype=np.int64)
         node_ids[:k] = nodes

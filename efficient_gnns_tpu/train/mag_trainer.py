@@ -67,7 +67,14 @@ class MagTrainer:
         teacher_layers: int = 3,
         seed: int = 0,
         edge_budget: Optional[int] = None,
+        typed_square: bool = True,
+        block: bool = True,
     ):
+        """``typed_square``/``block`` (default on): sampled subgraphs carry
+        the relation-typed square layout and Pallas edge blockings, so each
+        R-GCN layer is ONE static-weight blocked SpMM instead of R
+        relation-masked full-edge passes (models/layers.py RGCNConv typed
+        path; reference semantics mag_pyg/gnn.py:54-65)."""
         cfg = config
         self.cfg = cfg
         self.ds = ds
@@ -101,6 +108,8 @@ class MagTrainer:
             num_edge_types=ds.num_edge_types,
             seed=seed,
             edge_budget=edge_budget,
+            typed_square=typed_square,
+            block=block,
         )
 
         # full graph for inference
@@ -123,6 +132,7 @@ class MagTrainer:
                     self.x_global[jnp.asarray(sub.node_ids)],
                     self.node_type_global[jnp.asarray(sub.node_ids)],
                     self.local_idx_global[jnp.asarray(sub.node_ids)],
+                    typed_graph=sub.typed_graph,
                 )
                 self.teacher_vars = {"params": tv["params"]}
             else:
@@ -155,7 +165,10 @@ class MagTrainer:
         k1, k2, k3 = jax.random.split(k, 3)
         sub = self.sampler.sample()
         x, y, tm, nt, li = self._gather_payload(sub.node_ids)
-        variables = self.model.init({"params": k1, "dropout": k1}, sub.graph, x, nt, li)
+        variables = self.model.init(
+            {"params": k1, "dropout": k1}, sub.graph, x, nt, li,
+            typed_graph=sub.typed_graph,
+        )
         params = {"model": variables["params"]}
         batch_stats = {"model": variables.get("batch_stats", {})}
         if self.sproj is not None:
@@ -173,7 +186,7 @@ class MagTrainer:
     def _make_train_step(self):
         cfg = self.cfg
 
-        def loss_fn(params, batch_stats, graph, node_ids, rng):
+        def loss_fn(params, batch_stats, graph, typed_graph, node_ids, rng):
             k_drop, k_sample = jax.random.split(rng)
             x, y, train_mask, nt, li = self._gather_payload(node_ids)
             valid = graph.node_mask
@@ -182,6 +195,7 @@ class MagTrainer:
             logits, feat = self.model.apply(
                 {"params": params["model"]},
                 graph, x, nt, li,
+                typed_graph=typed_graph,
                 training=True,
                 rngs={"dropout": k_drop},
             )
@@ -194,7 +208,7 @@ class MagTrainer:
 
             t_logits, t_feat = jax.lax.stop_gradient(
                 self.teacher.apply(self.teacher_vars, graph, x, nt, li,
-                                   training=False)
+                                   typed_graph=typed_graph, training=False)
             )
             if mode == "kd":
                 loss, loss_cls, loss_aux = criteria.kd_criterion(
@@ -250,10 +264,11 @@ class MagTrainer:
                 loss = loss_cls + cfg.beta * loss_aux
             return loss, (loss_cls, loss_aux, new_bs)
 
-        def step(state: TrainState, graph, node_ids, rng):
+        def step(state: TrainState, graph, typed_graph, node_ids, rng):
             (loss, (loss_cls, loss_aux, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, state.batch_stats, graph, node_ids, rng)
+            )(state.params, state.batch_stats, graph, typed_graph, node_ids,
+              rng)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return (
@@ -288,7 +303,8 @@ class MagTrainer:
                 jax.random.PRNGKey(self.seed), epoch * 1009 + s
             )
             self.state, m = self._train_step(
-                self.state, sub.graph, jnp.asarray(sub.node_ids), rng
+                self.state, sub.graph, sub.typed_graph,
+                jnp.asarray(sub.node_ids), rng
             )
             for k in totals:
                 totals[k] += float(m[k])

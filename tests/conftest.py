@@ -24,6 +24,15 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Best-effort build of the native host library so the native tests run and
+# graph preprocessing takes the fast path (DGL-create_formats_-class work,
+# reference arxiv_dgl/gat.py:56-71). Falls through silently where no
+# toolchain exists — every native entry point has a NumPy fallback.
+from efficient_gnns_tpu.native import host as _native_host  # noqa: E402
+
+if not _native_host.available():
+    _native_host.build(quiet=True)
+
 assert jax.device_count() == 8, (
     "tests require the virtual 8-device CPU mesh; got "
     f"{jax.device_count()} {jax.devices()!r}"

@@ -99,3 +99,97 @@ def test_mag_supervised_learns():
         tr.train_epoch(e)
     acc1 = tr.evaluate()
     assert acc1[0] > max(acc0[0], 0.4), (acc0, acc1)
+
+
+def test_rgcn_typed_square_matches_masked_fallback(rng):
+    """RGCNConv's typed-square single-SpMM path == the R relation-masked
+    SpMM fallback, forward AND parameter gradients (the row-layout contract:
+    typed senders at ``type * node_budget + s`` must match the rel_lin
+    concatenation order; reference semantics mag_pyg/gnn.py:54-65)."""
+    import jax
+
+    from efficient_gnns_tpu.graphs.preprocess import build_graph
+    from efficient_gnns_tpu.models.layers import RGCNConv
+
+    n, e, nr, nt_types, f_in, f_out = 40, 200, 3, 2, 8, 6
+    s = rng.integers(0, n, size=e)
+    r = rng.integers(0, n, size=e)
+    et = rng.integers(0, nr, size=e)
+    node_type = jnp.asarray(rng.integers(0, nt_types, size=n).astype(np.int32))
+    x = jnp.asarray(rng.normal(size=(n, f_in)).astype(np.float32))
+
+    graph = build_graph(s, r, n, edge_type=et, num_edge_types=nr,
+                        edge_pad_multiple=64)
+    # typed square layout exactly as SaintSampler builds it
+    cell = et.astype(np.int64) * n + r
+    deg = np.bincount(cell, minlength=nr * n)
+    w = 1.0 / np.maximum(deg[cell], 1)
+    typed = build_graph(s + et.astype(np.int64) * n, r, num_nodes=nr * n,
+                        edge_weight=w, edge_pad_multiple=64)
+
+    conv = RGCNConv(f_out, num_node_types=nt_types, num_edge_types=nr)
+    params = conv.init({"params": jax.random.PRNGKey(0)}, graph, x, node_type)
+
+    def loss_fallback(p, x):
+        out = conv.apply(p, graph, x, node_type)
+        return jnp.sum(out ** 2), out
+
+    def loss_typed(p, x):
+        out = conv.apply(p, graph, x, node_type, typed_graph=typed)
+        return jnp.sum(out ** 2), out
+
+    (lf, of), gf = jax.value_and_grad(loss_fallback, argnums=(0, 1),
+                                      has_aux=True)(params, x)
+    (lt, ot), gt = jax.value_and_grad(loss_typed, argnums=(0, 1),
+                                      has_aux=True)(params, x)
+    np.testing.assert_allclose(np.asarray(ot), np.asarray(of),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gt), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_saint_typed_square_static_shapes(rng):
+    """typed_square+block sampling: consecutive samples share every array
+    shape (jit stability) and the typed layout reproduces the per-relation
+    mean aggregation."""
+    from efficient_gnns_tpu.ops import spmm
+
+    ds = synthetic_mag_dataset(n_paper=300, n_author=150, n_inst=10,
+                               n_field=30)
+    g = ds.grouped
+    n_total = g.node_type.shape[0]
+    sampler = GraphSaintRandomWalkSampler(
+        g.edge_index[0], g.edge_index[1], n_total,
+        batch_size=32, walk_length=2,
+        edge_type=g.edge_type, num_edge_types=7, seed=0,
+        typed_square=True, block=True,
+    )
+    import jax
+
+    sub1, sub2 = sampler.sample(), sampler.sample()
+    shapes1 = [a.shape for a in jax.tree_util.tree_leaves((sub1.graph, sub1.typed_graph))]
+    shapes2 = [a.shape for a in jax.tree_util.tree_leaves((sub2.graph, sub2.typed_graph))]
+    assert shapes1 == shapes2
+
+    # per-relation mean via the typed layout == NumPy reference
+    nb = sampler.node_budget
+    nr = 7
+    f = 5
+    x = rng.normal(size=(nb, f)).astype(np.float32)
+    stacked = jnp.asarray(np.concatenate([x] * nr, axis=0))
+    got = np.asarray(spmm(sub1.typed_graph, stacked))[:nb]
+
+    e = int(sub1.graph.n_edge)
+    s = np.asarray(sub1.graph.senders)[:e]
+    r = np.asarray(sub1.graph.receivers)[:e]
+    et = np.asarray(sub1.graph.edge_type)[:e]
+    want = np.zeros((nb, f), np.float64)
+    for rel in range(nr):
+        m = et == rel
+        agg = np.zeros((nb, f), np.float64)
+        cnt = np.zeros(nb)
+        np.add.at(agg, r[m], x[s[m]])
+        np.add.at(cnt, r[m], 1.0)
+        want += agg / np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
