@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--teacher_path", type=str, default=None)
     p.add_argument("--out_dir", type=str, default="logs")
     p.add_argument("--n_train", type=int, default=400)
+    p.add_argument("--data_root", type=str, default="dataset",
+                   help="pre-mounted OGB cache root for --dataset "
+                        "ogbg-molhiv (contains ogbg_molhiv/raw + "
+                        "split/scaffold)")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
@@ -62,7 +66,11 @@ def main(argv=None):
 
         ds = synthetic_molhiv_dataset(n_train=args.n_train, seed=42)
     else:
-        raise NotImplementedError("real molhiv loader requires ogb data cache")
+        # real data from a pre-mounted OGB cache; load_molhiv raises a
+        # clear FileNotFoundError when the cache is absent (no egress here)
+        from efficient_gnns_tpu.data.molhiv import load_molhiv
+
+        ds = load_molhiv(args.data_root)
 
     cfg = DistillConfig(
         training=args.training, kd_and_aux=args.kd_and_aux,

@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--proj_dim", type=int, default=128)
     p.add_argument("--nce_T", type=float, default=0.075)
     p.add_argument("--teacher_path", type=str, default=None)
+    p.add_argument("--data_root", type=str, default="dataset/ppi",
+                   help="pre-mounted PPI raw cache for --dataset ppi "
+                        "({train,valid,test}_{graph.json,feats.npy,...})")
     p.add_argument("--out_dir", type=str, default="logs")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu|tpu); see cli.apply_platform")
@@ -57,7 +60,11 @@ def main(argv=None):
 
         ds = synthetic_ppi_dataset(seed=42)
     else:
-        raise NotImplementedError("real PPI loader requires torch_geometric data")
+        # real data from a pre-mounted raw cache; load_ppi raises a clear
+        # FileNotFoundError when the cache is absent (no egress here)
+        from efficient_gnns_tpu.data.ppi import load_ppi
+
+        ds = load_ppi(args.data_root)
 
     def make_model(kind):
         if kind == "teacher":

@@ -141,3 +141,83 @@ def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
     r_pos = ranks[labels == 1].sum()
     n_pos, n_neg = len(pos), len(neg)
     return float((r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def load_molhiv(data_root: str) -> MolDataset:
+    """Real ogbg-molhiv from a pre-mounted OGB raw cache (no ogb/torch
+    dependency): reads the standard ``ogbg_molhiv/raw/*.csv.gz`` +
+    ``split/scaffold/*.csv.gz`` files the ``ogb`` package downloads
+    (reference trains on ``PygGraphPropPredDataset('ogbg-molhiv')``,
+    mol_pyg results table). Raises FileNotFoundError with a clear message
+    when the cache is absent (no network egress here).
+    """
+    import os
+
+    import pandas as pd
+
+    base = data_root
+    if os.path.isdir(os.path.join(data_root, "ogbg_molhiv")):
+        base = os.path.join(data_root, "ogbg_molhiv")
+    raw = os.path.join(base, "raw")
+    split_dir = os.path.join(base, "split", "scaffold")
+    needed = [
+        os.path.join(raw, f) for f in (
+            "edge.csv.gz", "edge-feat.csv.gz", "node-feat.csv.gz",
+            "num-node-list.csv.gz", "num-edge-list.csv.gz",
+            "graph-label.csv.gz",
+        )
+    ] + [os.path.join(split_dir, f"{s}.csv.gz")
+         for s in ("train", "valid", "test")]
+    missing = [p for p in needed if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"ogbg-molhiv raw cache incomplete under {base!r} "
+            f"(missing e.g. {missing[0]}). Pre-mount the OGB download "
+            "(ogbg_molhiv/raw + split/scaffold) or use --dataset synthetic."
+        )
+
+    def csv(path):
+        return pd.read_csv(path, header=None).to_numpy()
+
+    edges = csv(os.path.join(raw, "edge.csv.gz")).astype(np.int64)
+    edge_feat = csv(os.path.join(raw, "edge-feat.csv.gz")).astype(np.int32)
+    node_feat = csv(os.path.join(raw, "node-feat.csv.gz")).astype(np.int32)
+    n_nodes = csv(os.path.join(raw, "num-node-list.csv.gz")).reshape(-1).astype(np.int64)
+    n_edges = csv(os.path.join(raw, "num-edge-list.csv.gz")).reshape(-1).astype(np.int64)
+    labels = csv(os.path.join(raw, "graph-label.csv.gz")).reshape(-1).astype(np.float32)
+
+    node_off = np.zeros(len(n_nodes) + 1, np.int64)
+    np.cumsum(n_nodes, out=node_off[1:])
+    edge_off = np.zeros(len(n_edges) + 1, np.int64)
+    np.cumsum(n_edges, out=edge_off[1:])
+
+    mols = []
+    for i in range(len(n_nodes)):
+        el, eh = edge_off[i], edge_off[i + 1]
+        nl, nh = node_off[i], node_off[i + 1]
+        # OGB raw edges are directed rows covering both directions already
+        mols.append(Molecule(
+            senders=edges[el:eh, 0].copy(),
+            receivers=edges[el:eh, 1].copy(),
+            num_nodes=int(n_nodes[i]),
+            atom_feats=node_feat[nl:nh].copy(),
+            bond_feats=edge_feat[el:eh].copy(),
+            label=float(labels[i]),
+        ))
+
+    def ids(split):
+        return csv(os.path.join(split_dir, f"{split}.csv.gz")).reshape(-1).astype(np.int64)
+
+    train = [mols[j] for j in ids("train")]
+    degs = [
+        np.log(np.maximum(
+            np.bincount(m.receivers, minlength=m.num_nodes), 1) + 1).mean()
+        for m in train[:1000] if m.num_nodes
+    ]
+    return MolDataset(
+        train=train,
+        valid=[mols[j] for j in ids("valid")],
+        test=[mols[j] for j in ids("test")],
+        num_tasks=1,
+        mean_log_degree=float(np.mean(degs)),
+    )

@@ -101,3 +101,88 @@ def micro_f1(logits: np.ndarray, labels: np.ndarray) -> float:
     fn = int(np.sum((pred == 0) & (true == 1)))
     denom = 2 * tp + fp + fn
     return 2 * tp / denom if denom else 0.0
+
+
+def load_ppi(data_root: str) -> PPIDataset:
+    """Real PPI from a pre-mounted raw cache (no torch dependency).
+
+    Expects the GraphSAGE/torch-geometric raw layout under ``data_root``:
+    ``{train,valid,test}_graph.json`` (networkx node-link),
+    ``{split}_feats.npy`` [N, 50], ``{split}_labels.npy`` [N, 121],
+    ``{split}_graph_id.npy`` [N] — the files ``torch_geometric.datasets.PPI``
+    downloads (reference ``ppi_pyg/gnn.py:305-310`` consumes that dataset).
+    Raises FileNotFoundError with a clear message when the cache is absent
+    (this environment has no network egress for the download).
+    """
+    import json
+    import os
+
+    needed = [
+        os.path.join(data_root, f"{split}_{part}")
+        for split in ("train", "valid", "test")
+        for part in ("graph.json", "feats.npy", "labels.npy", "graph_id.npy")
+    ]
+    missing = [p for p in needed if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            "PPI raw cache incomplete under "
+            f"{data_root!r} (missing e.g. {os.path.basename(missing[0])}). "
+            "Pre-mount the torch-geometric PPI raw files "
+            "({train,valid,test}_{graph.json,feats.npy,labels.npy,"
+            "graph_id.npy}) or use --dataset synthetic."
+        )
+
+    splits = {}
+    max_nodes = max_edges = 0
+    parsed = {}
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(data_root, f"{split}_graph.json")) as f:
+            gjson = json.load(f)
+        feats = np.load(os.path.join(data_root, f"{split}_feats.npy"))
+        labels = np.load(os.path.join(data_root, f"{split}_labels.npy"))
+        gid = np.load(os.path.join(data_root, f"{split}_graph_id.npy"))
+        links = np.array(
+            [[l["source"], l["target"]] for l in gjson["links"]], np.int64
+        )
+        parsed[split] = (feats, labels, gid, links)
+        for g in np.unique(gid):
+            sel = np.nonzero(gid == g)[0]
+            lo, hi = sel.min(), sel.max()
+            m = (links[:, 0] >= lo) & (links[:, 0] <= hi)
+            n_g = len(sel)
+            e_g = 2 * int(m.sum()) + n_g  # undirected + self loops
+            max_nodes = max(max_nodes, n_g)
+            max_edges = max(max_edges, e_g)
+
+    pad_nodes = pad_length(max_nodes, 128)
+    pad_edges = pad_length(max_edges, 1024)
+    for split, (feats, labels, gid, links) in parsed.items():
+        graphs = []
+        for g in np.unique(gid):
+            sel = np.nonzero(gid == g)[0]
+            lo, hi = sel.min(), sel.max()
+            n_g = len(sel)
+            m = (links[:, 0] >= lo) & (links[:, 0] <= hi)
+            s = links[m, 0] - lo
+            r = links[m, 1] - lo
+            graph = build_graph(
+                np.concatenate([s, r]),  # undirected, as PyG PPI edges
+                np.concatenate([r, s]),
+                n_g,
+                self_loops=True,  # PyG GATConv adds them per conv
+                pad_nodes_to=pad_nodes,
+                pad_edges_to=pad_edges,
+                n_node_valid=n_g,
+            )
+            xp = np.zeros((pad_nodes, feats.shape[1]), np.float32)
+            xp[:n_g] = feats[lo : hi + 1]
+            yp = np.zeros((pad_nodes, labels.shape[1]), np.float32)
+            yp[:n_g] = labels[lo : hi + 1]
+            graphs.append(PPIGraph(graph=graph, x=xp, y=yp, num_nodes=n_g))
+        splits[split] = graphs
+
+    return PPIDataset(
+        train=splits["train"], valid=splits["valid"], test=splits["test"],
+        feat_dim=parsed["train"][0].shape[1],
+        num_labels=parsed["train"][1].shape[1],
+    )

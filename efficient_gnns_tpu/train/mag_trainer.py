@@ -117,6 +117,16 @@ class MagTrainer:
             g.edge_index[0], g.edge_index[1], n_total,
             edge_type=g.edge_type, num_edge_types=ds.num_edge_types,
         )
+        # layer-wise chunked eval (reference RGCN.inference memory
+        # discipline, mag_pyg/gnn.py:140-171): peak = one layer's
+        # activations, not the unrolled full-graph forward
+        from efficient_gnns_tpu.train.layerwise import RGCNLayerwiseInference
+
+        self.layerwise = RGCNLayerwiseInference(
+            g.edge_index[0], g.edge_index[1], g.edge_type,
+            n_total, ds.num_edge_types,
+            chunk_nodes=min(16384, max(256, (n_total // 8) // 256 * 256)),
+        )
 
         self.model = _make_rgcn(ds, cfg.hidden, cfg.num_layers, cfg.dropout, feat_dim)
         self.teacher = None
@@ -310,8 +320,21 @@ class MagTrainer:
                 totals[k] += float(m[k])
         return {k: v / self.num_steps for k, v in totals.items()}
 
-    def evaluate(self) -> Tuple[float, float, float]:
-        pred = np.asarray(self._eval_fwd(self.state.params))
+    def evaluate(self, layerwise: bool = True) -> Tuple[float, float, float]:
+        """Full-graph accuracy per split. ``layerwise=True`` (default) uses
+        the chunked per-layer inference path; ``False`` runs the single
+        jitted full-graph forward (small graphs / parity checks)."""
+        if layerwise:
+            logits, _ = self.layerwise(
+                {"params": self.state.params["model"]},
+                self.x_global, self.node_type_global, self.local_idx_global,
+                num_layers=self.cfg.num_layers,
+                num_node_types=self.model.num_node_types,
+                emb_sizes=self.model.emb_sizes,
+            )
+            pred = np.asarray(jnp.argmax(logits, -1))
+        else:
+            pred = np.asarray(self._eval_fwd(self.state.params))
         paper_glob = self.ds.grouped.local2global["paper"]
         y = np.asarray(self.ds.y_paper)
         out = []
@@ -319,6 +342,25 @@ class MagTrainer:
             ids = paper_glob[self.ds.split_idx[k]]
             out.append(float((pred[ids] == y[self.ds.split_idx[k]]).mean()))
         return tuple(out)
+
+    def shard_embeddings(self, mesh, axis: str = "data") -> None:
+        """Row-shard the featureless-node-type embedding tables (and their
+        optimizer moments) over ``mesh``'s ``axis``; everything else is
+        replicated. The ~1.2M x 128 tables are the dominant parameter mass
+        at MAG scale (SURVEY.md section 7 hard parts; reference keeps them
+        on one GPU, mag_pyg/gnn.py:387) — sharding them is what lets the
+        teacher-width model scale past one chip's HBM."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def put(path, leaf):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "emb_" in name and getattr(leaf, "ndim", 0) == 2:
+                spec = PartitionSpec(axis, None)
+            else:
+                spec = PartitionSpec()
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        self.state = jax.tree_util.tree_map_with_path(put, self.state)
 
     def num_params(self) -> int:
         return sum(
