@@ -216,11 +216,61 @@ def _gat_step_main(args) -> None:
         summarize_trace(trace_dir)
 
 
+def _spmm_main(args) -> None:
+    """SpMM fwd+bwd at arxiv shape with per-kernel trace attribution — the
+    committed ceiling analysis behind the bench's speed-of-light fraction
+    (bench.py measures the same op; this breaks the time into kernels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_gnns_tpu.data import synthetic_node_dataset
+    from efficient_gnns_tpu.ops import spmm
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    t0 = time.time()
+    ds = synthetic_node_dataset(
+        num_nodes=args.num_nodes, num_edges=args.num_edges,
+        feat_dim=args.feat_dim, seed=0, label_smoothing_hops=0,
+    )
+    graph = jax.device_put(ds.graph)
+    x = jax.device_put(jnp.asarray(ds.x))
+    print(f"graph built in {time.time() - t0:.1f}s", flush=True)
+
+    def fb(graph, x):
+        def loss(x):
+            return jnp.sum(spmm(graph, x) ** 2)
+
+        _, g = jax.value_and_grad(loss)(x)
+        return x + 1e-12 * g
+
+    dt = bench_scan(fb, x, iters=20, verbose=False, const=graph)
+    e = int(np.asarray(ds.graph.n_edge))
+    sol = 4 * e * args.feat_dim * 4 / 819e9 * 1e3
+    print(f"SpMM fwd+bwd: {dt:.2f} ms ({sol / dt:.3f}x of the {sol:.2f} ms "
+          f"HBM roofline)", flush=True)
+
+    if args.trace:
+        from efficient_gnns_tpu.analysis.timing import (
+            capture_trace,
+            summarize_trace,
+        )
+
+        jfb = jax.jit(fb)
+        trace_dir = capture_trace(jfb, graph, x, trace_dir="/tmp/spmm_trace",
+                                  steps=2)
+        summarize_trace(trace_dir)
+
+
 def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser("efficient_gnns_tpu microbench")
     sub = p.add_subparsers(dest="cmd", required=True)
+    s = sub.add_parser("spmm", help="SpMM fwd+bwd + kernel attribution")
+    s.add_argument("--num-nodes", type=int, default=169_343)
+    s.add_argument("--num-edges", type=int, default=1_166_243)
+    s.add_argument("--feat-dim", type=int, default=128)
+    s.add_argument("--trace", action="store_true")
     g = sub.add_parser("gat-step", help="GAT teacher step time at arxiv shape")
     g.add_argument("--which", choices=["train", "eval"], default="train")
     g.add_argument("--num-nodes", type=int, default=169_343)
@@ -236,6 +286,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.cmd == "gat-step":
         _gat_step_main(args)
+    elif args.cmd == "spmm":
+        _spmm_main(args)
 
 
 if __name__ == "__main__":

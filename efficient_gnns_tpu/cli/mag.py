@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--teacher_hidden", type=int, default=512)
     p.add_argument("--teacher_layers", type=int, default=3)
     p.add_argument("--out_dir", type=str, default="logs")
+    p.add_argument("--no_typed_square", action="store_true",
+                   help="disable the typed-square single-pass R-GCN SpMM "
+                        "(falls back to R relation-masked passes; for "
+                        "step-time comparisons)")
     # synthetic sizing
     p.add_argument("--n_paper", type=int, default=4000)
     p.add_argument("--platform", type=str, default=None,
@@ -82,15 +86,25 @@ def main(argv=None):
             cfg, ds, batch_size=args.batch_size, num_steps=args.num_steps,
             teacher_params=teacher_params, teacher_hidden=args.teacher_hidden,
             teacher_layers=args.teacher_layers, seed=seed,
+            typed_square=not args.no_typed_square,
         )
         if run == 0:
-            print(f"params: {tr.num_params()}  device: {jax.devices()[0]}")
+            print(f"params: {tr.num_params()}  device: {jax.devices()[0]}  "
+                  f"typed_square: {not args.no_typed_square}")
+        import time
+
+        epoch_secs = []
         for epoch in range(1, args.epochs + 1):
+            t0 = time.time()
             m = tr.train_epoch(epoch)
+            dt = time.time() - t0
+            epoch_secs.append(dt)
             accs = tr.evaluate()
             logger.add_result(run, accs)
             print(f"Run {run} Epoch {epoch} loss {m['loss']:.4f} "
-                  f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}")
+                  f"epoch {dt:.2f}s ({dt / args.num_steps * 1e3:.0f} ms/step) "
+                  f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}",
+                  flush=True)
         logger.print_statistics(run)
     logger.print_statistics()
 
@@ -98,7 +112,8 @@ def main(argv=None):
     with open(os.path.join(
         args.out_dir, f"mag-{args.expt_name}-{args.training}.json"
     ), "w") as f:
-        json.dump({"args": vars(args), "statistics": logger.statistics()}, f)
+        json.dump({"args": vars(args), "statistics": logger.statistics(),
+                   "epoch_seconds": epoch_secs}, f)
 
 
 if __name__ == "__main__":
