@@ -44,6 +44,9 @@ def build_parser():
     p.add_argument("--teacher_dir", type=str, default=None)
     p.add_argument("--num_nodes", type=int, default=20000)
     p.add_argument("--num_edges", type=int, default=120000)
+    p.add_argument("--signal", type=float, default=0.8,
+                   help="synthetic class-signal strength (lower = harder)")
+    p.add_argument("--label_noise", type=float, default=0.0)
     p.add_argument("--out_dir", type=str, default="logs")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu|tpu); see cli.apply_platform")
@@ -68,7 +71,8 @@ def main(argv=None):
         from efficient_gnns_tpu.data import synthetic_node_dataset
 
         ds = synthetic_node_dataset(
-            num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42
+            num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42,
+            signal=args.signal, label_noise=args.label_noise,
         )
     else:
         from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
