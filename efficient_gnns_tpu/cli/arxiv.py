@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     # teacher artifacts
     p.add_argument("--teacher_dir", type=str, default=None,
                    help="directory of per-seed teacher .npz dumps")
+    p.add_argument("--data_root", type=str, default="dataset",
+                   help="ogb cache root for --dataset ogbn-arxiv (works "
+                        "without the ogb package: raw csv.gz reader)")
     # synthetic dataset sizing (ignored for real data)
     p.add_argument("--num_nodes", type=int, default=20000)
     p.add_argument("--num_edges", type=int, default=120000)
@@ -92,7 +95,7 @@ def load_dataset(args):
         )
     from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
 
-    return load_ogbn_arxiv()
+    return load_ogbn_arxiv(root=args.data_root)
 
 
 def main(argv=None):

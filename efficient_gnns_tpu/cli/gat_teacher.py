@@ -53,6 +53,9 @@ def build_parser():
     p.add_argument("--signal", type=float, default=0.8,
                    help="synthetic class-signal strength (lower = harder)")
     p.add_argument("--label-noise", type=float, default=0.0)
+    p.add_argument("--data-root", type=str, default="dataset",
+                   help="ogb cache root for --dataset ogbn-arxiv (works "
+                        "without the ogb package: raw csv.gz reader)")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
@@ -87,7 +90,8 @@ def main(argv=None):
     else:
         from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
 
-        ds = load_ogbn_arxiv(hub_dense="auto", gcn_norm=False)
+        ds = load_ogbn_arxiv(root=args.data_root, hub_dense="auto",
+                             gcn_norm=False)
 
     cfg = TeacherConfig(
         n_hidden=args.n_hidden,

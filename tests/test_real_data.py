@@ -178,3 +178,47 @@ def test_micro_f1_matches_sklearn(rng):
     want2 = f1_score(labels, (logits > 0).astype(np.int64), average="micro")
     np.testing.assert_allclose(got, want2, atol=1e-12)
     assert not np.isclose(got, want) or np.isclose(want, want2)
+
+
+def _write_arxiv_cache(root, rng, n=50, e=200, f=8, c=5):
+    raw = os.path.join(root, "ogbn_arxiv", "raw")
+    split = os.path.join(root, "ogbn_arxiv", "split", "time")
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(split, exist_ok=True)
+    edges = rng.integers(0, n, size=(e, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    y = rng.integers(0, c, size=n)
+
+    def put(path, arr, fmt):
+        with gzip.open(path, "wt") as fh:
+            for row in np.atleast_2d(arr):
+                fh.write(",".join(fmt % v for v in np.atleast_1d(row)) + "\n")
+
+    put(os.path.join(raw, "edge.csv.gz"), edges, "%d")
+    put(os.path.join(raw, "node-feat.csv.gz"), x, "%.6f")
+    put(os.path.join(raw, "node-label.csv.gz"), y[:, None], "%d")
+    perm = rng.permutation(n)
+    for name, sel in (("train", perm[:30]), ("valid", perm[30:40]),
+                      ("test", perm[40:])):
+        put(os.path.join(split, f"{name}.csv.gz"), np.asarray(sel)[:, None], "%d")
+    return edges, x, y
+
+
+def test_load_ogbn_arxiv_raw_cache(tmp_path, rng):
+    from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
+
+    edges, x, y = _write_arxiv_cache(tmp_path, rng)
+    ds = load_ogbn_arxiv(root=str(tmp_path), hub_dense=0)
+    assert ds.num_nodes == 50 and ds.num_classes == 40
+    np.testing.assert_allclose(ds.x, x, atol=1e-5)
+    np.testing.assert_array_equal(ds.y, y)
+    assert len(ds.split_idx["train"]) == 30
+    # graph is bidirected + self-looped over the raw edges
+    e = int(ds.graph.n_edge)
+    s = np.asarray(ds.graph.senders)[:e]
+    r = np.asarray(ds.graph.receivers)[:e]
+    pairs = set(zip(s.tolist(), r.tolist()))
+    for a, b in edges[:20]:
+        assert (a, b) in pairs and (b, a) in pairs
+    assert all((i, i) in pairs for i in range(50))
