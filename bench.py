@@ -57,10 +57,14 @@ def _validate(ds, x_np, out_dev, num_check=4096):
     g = ds.graph
     s = np.asarray(g.senders)
     r = np.asarray(g.receivers)
-    w = np.asarray(g.edge_weight)
-    ref = np.zeros((NUM_NODES, x_np.shape[1]), np.float64)
     valid = r < NUM_NODES
-    np.add.at(ref, r[valid], w[valid, None] * x_np[s[valid]].astype(np.float64))
+    if g.edge_weight is not None:
+        w = np.asarray(g.edge_weight)[valid]
+    else:  # factored norm: w_e = d_s^-1/2 * d_r^-1/2
+        scale = np.asarray(g.node_scale).astype(np.float64)
+        w = scale[s[valid]] * scale[r[valid]]
+    ref = np.zeros((NUM_NODES, x_np.shape[1]), np.float64)
+    np.add.at(ref, r[valid], w[:, None] * x_np[s[valid]].astype(np.float64))
     got = np.asarray(out_dev)[rows]
     err = np.max(np.abs(got - ref[rows]) / (1.0 + np.abs(ref[rows])))
     log(f"validation max rel err over {num_check} rows: {err:.2e}")
@@ -208,7 +212,7 @@ def main():
     t0 = time.time()
     ds = synthetic_node_dataset(
         num_nodes=NUM_NODES, num_edges=NUM_EDGES, feat_dim=FEAT_DIM, seed=0,
-        label_smoothing_hops=0,
+        label_smoothing_hops=0, gcn_norm="factored",
     )
     graph = ds.graph
     e_real = int(graph.n_edge)

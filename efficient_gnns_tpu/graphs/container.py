@@ -75,6 +75,12 @@ class Graph:
     n_edge: jnp.ndarray
     edge_weight: Optional[jnp.ndarray] = None
     edge_type: Optional[jnp.ndarray] = None
+    # Factored symmetric normalization: out = S @ (A @ (S @ x)) with
+    # S = diag(node_scale) — the GCN norm without per-edge weights, so the
+    # adjacency structures stay unweighted (bf16-exact multiplicities in the
+    # hub slices, no w_blk) and SpMM HBM traffic drops. Symmetric by
+    # construction: transpose() keeps it as-is.
+    node_scale: Optional[jnp.ndarray] = None
     # Pallas kernel edge blockings (graphs/blocking.py); None -> XLA path.
     # When ``hub`` is set the blockings cover only the residual edges.
     blocking: Optional[object] = None
@@ -140,6 +146,7 @@ class Graph:
             blocking=self.t_blocking,
             t_blocking=self.blocking,
             hub=None if self.hub is None else self.hub.transpose(),
+            node_scale=self.node_scale,  # symmetric: S A S transposes to itself
             num_nodes=self.num_nodes,
             num_edge_types=self.num_edge_types,
         )

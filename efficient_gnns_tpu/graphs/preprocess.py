@@ -102,6 +102,10 @@ def build_graph(
         :func:`gcn_norm_weights` afterwards, but orders of magnitude
         faster for large graphs (no per-op device dispatch; the weights
         are pre-blocked together with the edge layout before upload).
+        The string ``"factored"`` instead stores the per-node scale
+        ``d^-1/2`` (``Graph.node_scale``) and keeps the adjacency
+        unweighted — identical math (``out = S A S x``), less HBM per
+        SpMM (bf16 hub slices, no w_blk); preferred for TPU training.
       hub_dense: hub width for the hub-dense adjacency decomposition
         (graphs/hub_dense.py) — static-weight SpMM then runs the hub edges
         as dense MXU matmuls and only the residual edges through the
@@ -153,6 +157,7 @@ def build_graph(
     pad_perm[:e] = csc_perm
 
     ew = None
+    node_scale = None
     if edge_weight is not None:
         ew = np.zeros(e_pad, dtype=np.float32)
         ew[:e] = np.asarray(edge_weight, dtype=np.float32)[csr_order]
@@ -161,8 +166,15 @@ def build_graph(
             raise ValueError("gcn_norm=True incompatible with edge_weight")
         deg = np.bincount(r_csr, minlength=n_pad).astype(np.float64)
         inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1.0)), 0.0)
-        ew = np.zeros(e_pad, dtype=np.float32)
-        ew[:e] = (inv_sqrt[s_csr] * inv_sqrt[r_csr]).astype(np.float32)
+        if gcn_norm == "factored":
+            # keep the adjacency unweighted and normalize via the diagonal
+            # scales inside spmm (out = S A S x): the hub slices stay
+            # bf16-exact multiplicities and no w_blk is built/read — less
+            # HBM per step, identical math (d_r^-1/2 * d_s^-1/2 factors)
+            node_scale = inv_sqrt.astype(np.float32)
+        else:
+            ew = np.zeros(e_pad, dtype=np.float32)
+            ew[:e] = (inv_sqrt[s_csr] * inv_sqrt[r_csr]).astype(np.float32)
     et = None
     if edge_type is not None:
         et = np.full(e_pad, num_edge_types, dtype=np.int32)
@@ -262,6 +274,7 @@ def build_graph(
         blocking=blocking,
         t_blocking=t_blocking,
         hub=hub,
+        node_scale=None if node_scale is None else jnp.asarray(node_scale),
         num_nodes=n_pad,
         num_edge_types=int(num_edge_types),
     )

@@ -300,6 +300,15 @@ def spmm(
     if transpose:
         graph = graph.transpose()
 
+    if graph.node_scale is not None and edge_weight is None:
+        # factored symmetric normalization: out = S @ (A @ (S @ x)) with the
+        # unweighted structures (build_graph(gcn_norm="factored")) — the
+        # diagonal scalings fuse into neighboring elementwise ops under XLA
+        scale = graph.node_scale[:, None]
+        inner = graph.replace(node_scale=None)
+        out = spmm(inner, (x * scale).astype(x.dtype), weight_grad=False)
+        return (out * scale).astype(x.dtype)
+
     from efficient_gnns_tpu.ops import dispatch
 
     if graph.blocking is not None and dispatch.pallas_enabled():

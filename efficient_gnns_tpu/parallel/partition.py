@@ -62,6 +62,23 @@ class PartitionedGraph(NamedTuple):
     num_devices: int
 
 
+def _effective_edge_weight(graph: Graph) -> np.ndarray:
+    """Per-edge weights with a factored node_scale folded in
+    (``build_graph(gcn_norm="factored")`` graphs carry the symmetric
+    normalization as diagonal scales, not per-edge values)."""
+    w = (
+        np.asarray(graph.edge_weight)
+        if graph.edge_weight is not None
+        else np.asarray(graph.edge_mask, np.float32)
+    )
+    if graph.node_scale is not None:
+        scale = np.asarray(graph.node_scale)
+        s = np.minimum(np.asarray(graph.senders), graph.num_nodes - 1)
+        r = np.minimum(np.asarray(graph.receivers), graph.num_nodes - 1)
+        w = w * scale[s] * scale[r]
+    return w
+
+
 def partition_graph(graph: Graph, num_devices: int) -> PartitionedGraph:
     """Split a receiver-sorted Graph into ``num_devices`` row partitions."""
     n = graph.num_nodes
@@ -71,11 +88,7 @@ def partition_graph(graph: Graph, num_devices: int) -> PartitionedGraph:
     rows = n // num_devices
     senders = np.asarray(graph.senders)
     receivers = np.asarray(graph.receivers)
-    w = (
-        np.asarray(graph.edge_weight)
-        if graph.edge_weight is not None
-        else np.asarray(graph.edge_mask, np.float32)
-    )
+    w = _effective_edge_weight(graph)
 
     valid = receivers < n
     owner = np.minimum(receivers // rows, num_devices - 1)
@@ -187,11 +200,7 @@ def partition_graph_halo(graph: Graph, num_devices: int) -> HaloPartition:
     rows = n // d_count
     senders = np.asarray(graph.senders)
     receivers = np.asarray(graph.receivers)
-    w = (
-        np.asarray(graph.edge_weight)
-        if graph.edge_weight is not None
-        else np.asarray(graph.edge_mask, np.float32)
-    )
+    w = _effective_edge_weight(graph)
     valid = receivers < n
 
     # per-device contiguous edge ranges (receiver-sorted)

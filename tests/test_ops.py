@@ -244,3 +244,49 @@ def test_graph_transpose_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(ops.spmm(gt, x)), a.T @ x, rtol=1e-4, atol=1e-4)
     gtt = gt.transpose()
     np.testing.assert_allclose(np.asarray(ops.spmm(gtt, x)), a @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_factored_gcn_norm_matches_weighted(rng):
+    """build_graph(gcn_norm="factored") — out = S A S x with unweighted
+    structures — equals the per-edge-weighted gcn_norm graph, fwd + grad,
+    on both the XLA and the blocked (interpret) paths."""
+    from efficient_gnns_tpu.ops import dispatch
+
+    n, e = 60, 300
+    s = rng.integers(0, n, size=e)
+    r = rng.integers(0, n, size=e)
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+
+    kw = dict(bidirected=True, self_loops=True, edge_pad_multiple=64)
+    from efficient_gnns_tpu.graphs import build_graph
+    g_w = build_graph(s, r, n, gcn_norm=True, **kw)
+    g_f = build_graph(s, r, n, gcn_norm="factored", **kw)
+    g_wb = build_graph(s, r, n, gcn_norm=True, block=True, hub_dense=4, **kw)
+    g_fb = build_graph(s, r, n, gcn_norm="factored", block=True, hub_dense=4,
+                       **kw)
+    assert g_f.edge_weight is None and g_f.node_scale is not None
+    # factored hub slices stay bf16 multiplicities (the HBM win)
+    assert g_fb.hub.unit_values and g_fb.hub.m_src.dtype == jnp.bfloat16
+    assert not g_wb.hub.unit_values
+
+    def loss(graph, x, transpose=False):
+        return jnp.sum(ops.spmm(graph, x, transpose=transpose) ** 2)
+
+    want, gw = jax.value_and_grad(loss, argnums=1)(g_w, x)
+    got, gf = jax.value_and_grad(loss, argnums=1)(g_f, x)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gw),
+                               rtol=1e-4, atol=1e-5)
+    # transpose path (the SpMM backward uses it)
+    np.testing.assert_allclose(
+        np.asarray(ops.spmm(g_f, x, transpose=True)),
+        np.asarray(ops.spmm(g_w, x, transpose=True)), rtol=1e-4, atol=1e-5)
+
+    dispatch.set_backend("pallas", interpret=True)
+    try:
+        got_b, gfb = jax.value_and_grad(loss, argnums=1)(g_fb, x)
+        np.testing.assert_allclose(float(got_b), float(want), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gfb), np.asarray(gw),
+                                   rtol=1e-3, atol=1e-4)
+    finally:
+        dispatch.set_backend("auto", interpret=False)

@@ -180,3 +180,31 @@ def test_halo_partition_covers_all_edges(rng):
     assert n_edges == len(s)
     stats = halo_stats(part)
     assert stats["halo_rows_per_device"] <= stats["all_gather_rows_per_device"]
+
+
+def test_partition_folds_factored_node_scale(rng):
+    """Edge-partitioned SpMM over a gcn_norm='factored' graph folds the
+    diagonal scales into the partition weights: partitioned == full spmm."""
+    import jax
+    from jax.sharding import Mesh
+
+    from efficient_gnns_tpu.graphs import build_graph
+    from efficient_gnns_tpu import ops
+    from efficient_gnns_tpu.parallel.partition import (
+        partition_graph,
+        spmm_sharded,
+    )
+
+    n, e = 64, 300
+    s = rng.integers(0, n, size=e)
+    r = rng.integers(0, n, size=e)
+    g = build_graph(s, r, n, bidirected=True, self_loops=True,
+                    gcn_norm="factored", edge_pad_multiple=64)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    want = np.asarray(ops.spmm(g, x))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    part = partition_graph(g, 8)
+    with mesh:
+        got = np.asarray(jax.jit(lambda x: spmm_sharded(mesh, part, x))(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
