@@ -177,9 +177,11 @@ def main(argv=None):
             lsp_graph=lsp_graph, seed=seed,
         )
         # experiment identity encoded in the log-dir path
-        # (reference arxiv_pyg/gnn.py:318-324)
+        # (reference arxiv_pyg/gnn.py:318-324); kd_and_aux is part of the
+        # identity so composed runs don't collide with the plain mode
+        mode = ("kd+" if args.kd_and_aux else "") + args.training
         run_dir = os.path.join(
-            args.out_dir, args.expt_name, f"{args.gnn}-{args.training}",
+            args.out_dir, args.expt_name, f"{args.gnn}-{mode}",
             f"seed{seed}",
         )
         writer = MetricsWriter(run_dir, tensorboard=args.tensorboard)
@@ -237,8 +239,9 @@ def main(argv=None):
 
     logger.print_statistics()
     os.makedirs(args.out_dir, exist_ok=True)
+    mode = ("kd+" if args.kd_and_aux else "") + args.training
     out = os.path.join(
-        args.out_dir, f"{args.expt_name}-{args.gnn}-{args.training}.json"
+        args.out_dir, f"{args.expt_name}-{args.gnn}-{mode}.json"
     )
     with open(out, "w") as f:
         json.dump({"args": vars(args), "runs": results,

@@ -23,9 +23,14 @@ from efficient_gnns_tpu.ops import spmm_mean
 def neighbor_average_features(
     graph: Graph, x: jnp.ndarray, num_hops: int
 ) -> List[jnp.ndarray]:
-    """Returns ``[feat_0, feat_1, ..., feat_R]`` with R = num_hops."""
-    mean_pass = jax.jit(lambda f: spmm_mean(graph, f))
+    """Returns ``[feat_0, feat_1, ..., feat_R]`` with R = num_hops.
+
+    The graph rides as a jit *argument* (pytree), never a closure constant:
+    baking multi-MB index arrays into the XLA program blows the
+    remote-compile request limit on tunneled TPU backends (HTTP 413).
+    """
+    mean_pass = jax.jit(lambda g, f: spmm_mean(g, f))
     feats = [jnp.asarray(x)]
     for _ in range(num_hops):
-        feats.append(mean_pass(feats[-1]))
+        feats.append(mean_pass(graph, feats[-1]))
     return feats
