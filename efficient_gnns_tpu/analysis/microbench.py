@@ -209,10 +209,21 @@ def _gat_step_main(args) -> None:
             summarize_trace,
         )
 
-        trace_dir = capture_trace(
-            lambda s: run(0, s)[1], state,
-            trace_dir=f"/tmp/gat_trace_{args.which}", steps=2,
-        )
+        # pass the ALREADY-jitted step with the graph as an argument —
+        # wrapping it in a fresh lambda would bake the multi-MB graph into
+        # the traced program as constants (HTTP 413 on tunneled backends)
+        if args.which == "train":
+            trace_dir = capture_trace(
+                trainer._train_step, state, jax.random.fold_in(rng, 0),
+                trainer.graph, trainer.x,
+                trace_dir=f"/tmp/gat_trace_{args.which}", steps=2,
+            )
+        else:
+            trace_dir = capture_trace(
+                trainer._eval_step, trainer.state.params,
+                trainer.state.batch_stats, trainer.graph, trainer.x,
+                trace_dir=f"/tmp/gat_trace_{args.which}", steps=2,
+            )
         summarize_trace(trace_dir)
 
 

@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--teacher_hidden", type=int, default=512)
     p.add_argument("--teacher_layers", type=int, default=3)
     p.add_argument("--out_dir", type=str, default="logs")
+    p.add_argument("--time_steps", type=int, default=0,
+                   help="after training, time N jitted train steps on ONE "
+                        "resident sampled subgraph — device-only step time, "
+                        "host sampling/upload excluded")
     p.add_argument("--no_typed_square", action="store_true",
                    help="disable the typed-square single-pass R-GCN SpMM "
                         "(falls back to R relation-masked passes; for "
@@ -106,6 +110,35 @@ def main(argv=None):
                   f"train/val/test {accs[0]:.4f}/{accs[1]:.4f}/{accs[2]:.4f}",
                   flush=True)
         logger.print_statistics(run)
+
+        if args.time_steps:
+            # device-only step time: one resident subgraph, chained steps
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            sub = tr.sampler.sample()
+            sub = sub._replace(
+                graph=_jax.device_put(sub.graph),
+                typed_graph=None if sub.typed_graph is None
+                else _jax.device_put(sub.typed_graph),
+            )
+            ids = _jax.device_put(_jnp.asarray(sub.node_ids))
+            state = tr.state
+            rng0 = _jax.random.PRNGKey(0)
+            state, m = tr._train_step(state, sub.graph, sub.typed_graph, ids, rng0)
+            _jax.block_until_ready(m["loss"])
+            t0 = time.time()
+            for i in range(args.time_steps):
+                state, m = tr._train_step(
+                    state, sub.graph, sub.typed_graph, ids,
+                    _jax.random.fold_in(rng0, i),
+                )
+            _ = float(m["loss"])
+            dt = (time.time() - t0) / args.time_steps
+            print(f"device-only train step: {dt * 1e3:.1f} ms "
+                  f"(typed_square={not args.no_typed_square})", flush=True)
+            epoch_secs.append({"device_step_ms": dt * 1e3})
+        tr.close()
     logger.print_statistics()
 
     os.makedirs(args.out_dir, exist_ok=True)

@@ -252,6 +252,7 @@ def build_blocking(
     edge_weight: np.ndarray = None,
     order_to_csr: np.ndarray = None,
     pad_blocks_to: int = None,
+    max_dst_row: int = None,
 ) -> EdgeBlocking:
     """Blocks a receiver-sorted (possibly padded) edge list.
 
@@ -268,6 +269,14 @@ def build_blocking(
     the scatter kernel). The block count is otherwise data-dependent, which
     would retrace a jitted step for every sampled subgraph; samplers pass
     :func:`max_blocks` here.
+
+    ``max_dst_row``: promise that every real receiver is ``< max_dst_row``.
+    Row tiles at or beyond ``ceil(max_dst_row / tm)`` then get NO blocks (not
+    even the one empty-tile padding block), shrinking the arrays sharply for
+    tall-but-narrow layouts (the relation-typed square graph: ``R * N`` rows,
+    receivers only in ``[0, N)``). Output rows ``>= ceil(max_dst_row/tm)*tm``
+    of the scatter are then UNINITIALIZED — callers must slice them off
+    (the typed R-GCN path slices to ``[:N]``).
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
@@ -277,25 +286,46 @@ def build_blocking(
 
     from efficient_gnns_tpu.native import host as _native
 
+    used_tiles = num_tiles
+    if max_dst_row is not None:
+        if e and int(receivers[valid].max()) >= max_dst_row:
+            raise ValueError("edges violate the max_dst_row promise")
+        used_tiles = max(1, min(num_tiles, -(-int(max_dst_row) // tm)))
+
     arrays = _native.blocking_arrays(
         senders, receivers, num_nodes, num_edges_padded, tm, eb
     )
     if arrays is not None:  # C++ builder (native/gnns_host.cc)
         tile_idx, first_flag, edge_id, src, dst_local = arrays
         dst_local = np.asarray(dst_local).reshape(-1)
+        if used_tiles < num_tiles:
+            # drop the per-empty-tile padding blocks beyond the promised
+            # receiver range (no real edges can live there)
+            keep = tile_idx < used_tiles
+            tile_idx = tile_idx[keep]
+            first_flag = first_flag[keep]
+            slot_keep = np.repeat(keep, eb)
+            edge_id = edge_id[slot_keep]
+            src = src[slot_keep]
+            dst_local = dst_local[slot_keep]
     else:
         r = receivers[:e]
         # per-tile edge counts (edges sorted by receiver => contiguous/tile)
         tile_of_edge = r // tm
         counts = np.bincount(tile_of_edge, minlength=num_tiles)
         blocks_per_tile = np.maximum(1, -(-counts // eb))
+        if used_tiles < num_tiles:
+            blocks_per_tile[used_tiles:] = 0
         nb = int(blocks_per_tile.sum())
 
         tile_idx = np.repeat(
             np.arange(num_tiles, dtype=np.int32), blocks_per_tile
         )
         first_flag = np.zeros(nb, dtype=np.int32)
-        first_flag[np.cumsum(blocks_per_tile) - blocks_per_tile] = 1
+        starts_f = (np.cumsum(blocks_per_tile) - blocks_per_tile)[
+            blocks_per_tile > 0
+        ]
+        first_flag[starts_f] = 1
 
         edge_id = np.full(nb * eb, num_edges_padded, dtype=np.int32)
         dst_local = np.full(nb * eb, tm, dtype=np.int32)
@@ -325,9 +355,10 @@ def build_blocking(
             )
         if nb < pad_blocks_to:
             extra = pad_blocks_to - nb
+            last_tile = int(tile_idx[-1]) if nb else 0
             tile_idx = np.concatenate([
                 tile_idx,
-                np.full(extra, num_tiles - 1, dtype=np.int32),
+                np.full(extra, last_tile, dtype=np.int32),
             ])
             first_flag = np.concatenate(
                 [first_flag, np.zeros(extra, dtype=np.int32)]

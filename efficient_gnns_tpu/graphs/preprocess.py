@@ -76,6 +76,8 @@ def build_graph(
     block_tm: int = 256,
     block_eb: Optional[int] = None,
     block_pad_to: Optional[int] = None,
+    block_max_dst: Optional[int] = None,
+    t_block_pad_to: Optional[int] = None,
     hub_dense="auto",
     gcn_norm: bool = False,
 ) -> Graph:
@@ -96,6 +98,11 @@ def build_graph(
       block_pad_to: pad both blockings' block counts to this static value
         (see ``blocking.max_blocks``) — samplers building one graph per step
         need sample-independent shapes or the jitted step retraces.
+      block_max_dst: receivers are promised < this value — forward-blocking
+        row tiles beyond it get no blocks (see ``build_blocking``
+        ``max_dst_row``; the tall typed R-GCN layout). The transpose
+        blocking (full receiver range) is unaffected; give it its own pad
+        via ``t_block_pad_to`` when ``block_pad_to`` assumes the skip.
       gcn_norm: compute the symmetric GCN normalization
         ``d_r^-1/2 * d_s^-1/2`` host-side (NumPy) and attach it as
         ``edge_weight`` — identical result to calling
@@ -245,13 +252,16 @@ def build_graph(
             tm=block_tm, eb=eb, edge_weight=_pad_w(ew_b),
             order_to_csr=_pad_order(order_fwd),
             pad_blocks_to=block_pad_to,
+            max_dst_row=block_max_dst,
         )
         t_blocking = build_blocking(
             _pad_b(t_s_b), _pad_b(t_r_b), n_pad, e_b_pad,
             tm=block_tm, eb=eb,
             edge_weight=_pad_w(ew_t_b),
             order_to_csr=_pad_order(order_t),
-            pad_blocks_to=block_pad_to,
+            pad_blocks_to=(
+                block_pad_to if t_block_pad_to is None else t_block_pad_to
+            ),
         )
         from efficient_gnns_tpu.graphs.blocking import attach_cross_perm
 

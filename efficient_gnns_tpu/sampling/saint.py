@@ -158,13 +158,19 @@ class GraphSaintRandomWalkSampler:
         # array shapes or the jitted train step retraces per sample
         from efficient_gnns_tpu.graphs.blocking import max_blocks
 
+        nb, nr = self.node_budget, self.num_edge_types
+        e_blocks = -(-self.edge_budget // self.block_eb)
+        # in typed mode the main graph's blocking is never used (the R-GCN
+        # rides the typed layout; remaining consumers — LSP, masks — read
+        # the COO arrays), so skip building + uploading it: per-sample
+        # host->device bytes are the step-time floor on tunneled backends
+        block_main = self.block and not self.typed_square
         blk_kwargs = {}
-        if self.block:
+        if block_main:
             blk_kwargs = dict(
                 block_tm=self.block_tm, block_eb=self.block_eb,
                 block_pad_to=max_blocks(
-                    self.node_budget, self.edge_budget,
-                    self.block_tm, self.block_eb,
+                    nb, self.edge_budget, self.block_tm, self.block_eb
                 ),
             )
         graph = build_graph(
@@ -176,22 +182,32 @@ class GraphSaintRandomWalkSampler:
             pad_nodes_to=self.node_budget,
             pad_edges_to=self.edge_budget,
             n_node_valid=k,
-            block=self.block,
+            block=block_main,
             hub_dense=0,
             **blk_kwargs,
         )
         typed_graph = None
         if self.typed_square:
-            nb, nr = self.node_budget, self.num_edge_types
             # per-(relation, receiver) in-degree -> mean normalization as
             # STATIC edge weights (pre-blocked at build; reference semantics
             # mag_pyg/gnn.py:54-65 per-relation scatter-mean)
             cell = et.astype(np.int64) * nb + r_loc
             deg = np.bincount(cell, minlength=nr * nb)
             w = 1.0 / np.maximum(deg[cell], 1)
+            tk = {}
             if self.block:
-                blk_kwargs["block_pad_to"] = max_blocks(
-                    nr * nb, self.edge_budget, self.block_tm, self.block_eb
+                # receivers < node_budget: tiles beyond get no blocks
+                # (max_dst_row), so the tall R*N layout costs the same
+                # block arrays as the square one; the transpose blocking
+                # (receivers = typed senders, full range) keeps its own pad
+                tk = dict(
+                    block_tm=self.block_tm, block_eb=self.block_eb,
+                    block_max_dst=nb,
+                    block_pad_to=-(-nb // self.block_tm) + e_blocks,
+                    t_block_pad_to=max_blocks(
+                        nr * nb, self.edge_budget,
+                        self.block_tm, self.block_eb,
+                    ),
                 )
             typed_graph = build_graph(
                 s_loc + et.astype(np.int64) * nb,
@@ -202,7 +218,7 @@ class GraphSaintRandomWalkSampler:
                 n_node_valid=k,
                 block=self.block,
                 hub_dense=0,
-                **blk_kwargs,
+                **tk,
             )
         node_ids = np.zeros(self.node_budget, dtype=np.int64)
         node_ids[:k] = nodes

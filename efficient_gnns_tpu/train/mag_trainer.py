@@ -25,6 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+import queue as _queue
+import threading as _threading
+
 from efficient_gnns_tpu.data.mag import MagDataset
 from efficient_gnns_tpu.distill import criteria
 from efficient_gnns_tpu.graphs.preprocess import build_graph
@@ -54,6 +57,46 @@ def _make_rgcn(ds: MagDataset, hidden: int, num_layers: int, dropout: float,
     )
 
 
+class _SamplePrefetcher:
+    """Background-thread GraphSAINT sampling with early device upload.
+
+    The reference hides its sampler cost behind the PyTorch DataLoader's
+    worker processes (``mag_pyg/gnn.py:361-366``); here one daemon thread
+    builds the next padded subgraphs and starts their host->device transfer
+    while the current step runs — on tunneled TPU backends the per-sample
+    upload, not the device math, is the step-time floor. Samples keep the
+    sampler's deterministic RNG order (single worker)."""
+
+    def __init__(self, sampler, depth: int = 2):
+        self._sampler = sampler
+        self._q = _queue.Queue(maxsize=depth)
+        self._stop = _threading.Event()
+        self._thread = _threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        while not self._stop.is_set():
+            sub = self._sampler.sample()
+            sub = sub._replace(
+                graph=jax.device_put(sub.graph),
+                typed_graph=None if sub.typed_graph is None
+                else jax.device_put(sub.typed_graph),
+                node_ids=jax.device_put(jnp.asarray(sub.node_ids)),
+            )
+            while not self._stop.is_set():
+                try:
+                    self._q.put(sub, timeout=0.5)
+                    break
+                except _queue.Full:
+                    continue
+
+    def get(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+
+
 class MagTrainer:
     def __init__(
         self,
@@ -69,6 +112,7 @@ class MagTrainer:
         edge_budget: Optional[int] = None,
         typed_square: bool = True,
         block: bool = True,
+        prefetch: int = 2,
     ):
         """``typed_square``/``block`` (default on): sampled subgraphs carry
         the relation-typed square layout and Pallas edge blockings, so each
@@ -157,6 +201,8 @@ class MagTrainer:
         self.state = self._init_state()
         self._train_step = jax.jit(self._make_train_step())
         self._eval_fwd = jax.jit(self._make_eval_fwd())
+        self._prefetch_depth = int(prefetch)
+        self._prefetcher: Optional[_SamplePrefetcher] = None
 
     # ------------------------------------------------------------------
 
@@ -306,9 +352,14 @@ class MagTrainer:
     # ------------------------------------------------------------------
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        if self._prefetcher is None and self._prefetch_depth > 0:
+            self._prefetcher = _SamplePrefetcher(
+                self.sampler, self._prefetch_depth
+            )
         totals = {"loss": 0.0, "loss_cls": 0.0, "loss_aux": 0.0}
         for s in range(self.num_steps):
-            sub = self.sampler.sample()
+            sub = (self._prefetcher.get() if self._prefetcher is not None
+                   else self.sampler.sample())
             rng = jax.random.fold_in(
                 jax.random.PRNGKey(self.seed), epoch * 1009 + s
             )
@@ -319,6 +370,12 @@ class MagTrainer:
             for k in totals:
                 totals[k] += float(m[k])
         return {k: v / self.num_steps for k, v in totals.items()}
+
+    def close(self) -> None:
+        """Stop the background sampling thread (idempotent)."""
+        if self._prefetcher is not None:
+            self._prefetcher.close()
+            self._prefetcher = None
 
     def evaluate(self, layerwise: bool = True) -> Tuple[float, float, float]:
         """Full-graph accuracy per split. ``layerwise=True`` (default) uses
