@@ -89,6 +89,8 @@ class SIGNTrainer:
             np.arange(self.num_nodes), eval_batch_size, shuffle=False
         )
         self.state = self._init_state()
+        self._data = (tuple(self.feats), self.y, self.teacher_feat,
+                      self.teacher_logits)
         self._train_step = jax.jit(self._make_train_step())
         self._eval_step = jax.jit(self._make_eval_step())
 
@@ -117,10 +119,11 @@ class SIGNTrainer:
     def _make_train_step(self):
         cfg = self.cfg
 
-        def loss_fn(params, batch_stats, ids, mask, rng):
+        def loss_fn(params, batch_stats, data, ids, mask, rng):
+            feats, y, teacher_feat, teacher_logits = data
             k_drop, k_sample = jax.random.split(rng)
-            batch_feats = [f[ids] for f in self.feats]
-            labels = self.y[ids]
+            batch_feats = [f[ids] for f in feats]
+            labels = y[ids]
             (logits, feat), mut = self.model.apply(
                 {"params": params["model"], "batch_stats": batch_stats["model"]},
                 batch_feats,
@@ -135,7 +138,7 @@ class SIGNTrainer:
             if mode == "supervised":
                 loss = criteria.cls_ce(logits, labels, mask)
                 return loss, (loss, loss * 0, new_bs)
-            t_logits = self.teacher_logits[ids]
+            t_logits = teacher_logits[ids]
             if mode == "kd":
                 loss, loss_cls, loss_aux = criteria.kd_criterion(
                     logits, labels, t_logits, cfg.alpha, cfg.kd_T, mask
@@ -144,7 +147,7 @@ class SIGNTrainer:
 
             # representation modes
             if mode == "at":
-                sf, tf = feat, self.teacher_feat[ids]
+                sf, tf = feat, teacher_feat[ids]
             else:
                 sf, smut = self.sproj.apply(
                     {"params": params["sproj"], "batch_stats": batch_stats["sproj"]},
@@ -152,7 +155,7 @@ class SIGNTrainer:
                 )
                 tf, tmut = self.tproj.apply(
                     {"params": params["tproj"], "batch_stats": batch_stats["tproj"]},
-                    self.teacher_feat[ids], training=True, mask=mask,
+                    teacher_feat[ids], training=True, mask=mask,
                     mutable=["batch_stats"],
                 )
                 new_bs["sproj"] = smut.get("batch_stats", batch_stats["sproj"])
@@ -185,10 +188,13 @@ class SIGNTrainer:
                 loss = loss_cls + cfg.beta * loss_aux
             return loss, (loss_cls, loss_aux, new_bs)
 
-        def step(state: TrainState, ids, mask, rng):
+        def step(state: TrainState, data, ids, mask, rng):
+            # ``data`` = (hop feats, labels, teacher arrays) rides as a jit
+            # ARGUMENT — closing over these ~0.5 GB arrays bakes them into
+            # the XLA program (HTTP 413 on tunneled remote compile)
             (loss, (loss_cls, loss_aux, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, state.batch_stats, ids, mask, rng)
+            )(state.params, state.batch_stats, data, ids, mask, rng)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return (
@@ -202,8 +208,8 @@ class SIGNTrainer:
         return step
 
     def _make_eval_step(self):
-        def step(params, batch_stats, ids):
-            batch_feats = [f[ids] for f in self.feats]
+        def step(params, batch_stats, feats, ids):
+            batch_feats = [f[ids] for f in feats]
             logits, _ = self.model.apply(
                 {"params": params["model"], "batch_stats": batch_stats["model"]},
                 batch_feats,
@@ -223,7 +229,8 @@ class SIGNTrainer:
                 jax.random.PRNGKey(self.seed), epoch * 131 + n
             )
             self.state, m = self._train_step(
-                self.state, jnp.asarray(ids), jnp.asarray(mask), rng
+                self.state, self._data, jnp.asarray(ids), jnp.asarray(mask),
+                rng
             )
             for k in totals:
                 totals[k] += float(m[k])
@@ -234,7 +241,7 @@ class SIGNTrainer:
         preds = []
         for ids, mask in self.eval_batcher.epoch(seed=0):
             p = self._eval_step(self.state.params, self.state.batch_stats,
-                                jnp.asarray(ids))
+                                tuple(self.feats), jnp.asarray(ids))
             preds.append(np.asarray(p)[mask])
         pred = np.concatenate(preds)
         y = np.asarray(self.y)
