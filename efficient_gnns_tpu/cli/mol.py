@@ -56,7 +56,7 @@ def main(argv=None):
     import jax
 
     from efficient_gnns_tpu.models.mol import MolGNN
-    from efficient_gnns_tpu.train.checkpoint import load_pytree
+    from efficient_gnns_tpu.train.checkpoint import load_pytree, save_pytree
     from efficient_gnns_tpu.train.config import DistillConfig
     from efficient_gnns_tpu.train.logger import Logger
     from efficient_gnns_tpu.train.mol_trainer import MolTrainer
@@ -85,6 +85,9 @@ def main(argv=None):
         student = MolGNN(conv=args.gnn, hidden=args.hidden_channels,
                          num_tasks=ds.num_tasks, num_layers=args.num_layers,
                          dropout=args.dropout,
+                         # GIN-E always carries the OGB virtual node, so a
+                         # gine run's checkpoint slots in as the teacher
+                         virtual_node=(args.gnn == "gine"),
                          pna_delta=ds.mean_log_degree, pna_towers=4)
         teacher = None
         teacher_params = None
@@ -102,10 +105,24 @@ def main(argv=None):
                         batch_size=args.batch_size, seed=seed)
         if run == 0:
             print(f"device: {jax.devices()[0]}")
+        best_val = -1.0
         for epoch in range(1, args.epochs + 1):
             m = tr.train_epoch(epoch)
             aucs = tr.evaluate_all()
             logger.add_result(run, aucs)
+            if aucs[1] > best_val:
+                best_val = aucs[1]
+                # best-val params per seed: students consume these via
+                # --teacher_path (reference ppi_pyg/train_teacher.py:168-177
+                # convention; the mol teacher code is unreleased upstream)
+                save_pytree(
+                    os.path.join(args.out_dir, "mol_ckpt", args.expt_name,
+                                 args.gnn, f"seed{seed}.msgpack"),
+                    # full variables dict: MolTrainer feeds this straight
+                    # into teacher.apply
+                    {"params": tr.state.params["model"],
+                     "batch_stats": tr.state.batch_stats["model"]},
+                )
             print(f"Run {run} Epoch {epoch} loss {m['loss']:.4f} "
                   f"AUC train/val/test {aucs[0]:.4f}/{aucs[1]:.4f}/{aucs[2]:.4f}")
         logger.print_statistics(run)

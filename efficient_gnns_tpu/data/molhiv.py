@@ -45,7 +45,12 @@ def synthetic_molhiv_dataset(
     rng = np.random.default_rng(seed)
 
     def make(k):
-        mols = []
+        """Molecules + raw label scores. The score is a function of the
+        VISIBLE inputs (atom features, bond types, connectivity) with mild
+        noise, so a GNN can actually rank it (AUC well above chance) —
+        iid-noise-dominated labels would cap ROC-AUC near 0.5 regardless of
+        the model."""
+        mols, scores = [], []
         for _ in range(k):
             n = int(rng.integers(min_atoms, max_atoms + 1))
             atoms = np.zeros((n, 9), np.int32)
@@ -65,19 +70,30 @@ def synthetic_molhiv_dataset(
             ru = np.concatenate([r, s])
             bonds = np.zeros((len(su), 3), np.int32)
             bonds[:, 0] = rng.integers(0, 4, size=len(su))
-            # planted signal: label depends on heavy-atom fraction + ring bonds
             heavy = (atoms[:, 0] > 10).mean()
-            score = heavy + 0.05 * len(su) / n + 0.3 * rng.normal()
-            label = float(score > 0.75)
-            mols.append(Molecule(su, ru, n, atoms, bonds, label))
-        return mols
+            aromatic = (bonds[:, 0] == 3).mean() if len(su) else 0.0
+            chirality = atoms[:, 1].mean()
+            score = (2.0 * heavy + 1.0 * chirality + 0.8 * aromatic
+                     + 0.05 * len(su) / n + 0.15 * rng.normal())
+            mols.append(Molecule(su, ru, n, atoms, bonds, 0.0))
+            scores.append(score)
+        return mols, np.asarray(scores)
 
-    train = make(n_train)
+    train, s_tr = make(n_train)
+    valid, s_va = make(n_valid)
+    test, s_te = make(n_test)
+    # one global threshold (~30% positive) across splits — the same
+    # "chemistry" everywhere, like the shared label map of the PPI generator
+    thresh = float(np.quantile(s_tr, 0.7))
+    train = [m._replace(label=float(s > thresh)) for m, s in zip(train, s_tr)]
+    valid = [m._replace(label=float(s > thresh)) for m, s in zip(valid, s_va)]
+    test = [m._replace(label=float(s > thresh)) for m, s in zip(test, s_te)]
+
     degs = []
     for m in train[:100]:
         degs.append(np.log(np.maximum(np.bincount(m.receivers, minlength=m.num_nodes), 1) + 1).mean())
     return MolDataset(
-        train=train, valid=make(n_valid), test=make(n_test),
+        train=train, valid=valid, test=test,
         num_tasks=1, mean_log_degree=float(np.mean(degs)),
     )
 
