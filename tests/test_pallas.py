@@ -500,3 +500,44 @@ def test_dgl_gat_conv_fused_matches_xla_path(rng):
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_xla), rtol=2e-4, atol=2e-5
     )
+
+
+def test_blocking_max_dst_row_skips_trailing_tiles(rng):
+    """build_blocking(max_dst_row=k): rows < k of the scatter match the
+    full blocking exactly (fwd + the static-weight VJP), while the trailing
+    tiles carry no blocks — the tall typed R-GCN layout contract
+    (models/layers.py RGCNConv typed path slices [:k])."""
+    import jax
+
+    from efficient_gnns_tpu.graphs import build_graph
+    from efficient_gnns_tpu.ops import dispatch, spmm
+
+    n_tall, k, e = 1024, 192, 500
+    s = rng.integers(0, n_tall, size=e)   # senders over the full tall range
+    r = rng.integers(0, k, size=e)        # receivers promised < k
+    w = rng.random(e).astype(np.float32) + 0.1
+    x = jnp.asarray(rng.normal(size=(n_tall, 8)).astype(np.float32))
+
+    kw = dict(edge_weight=w, edge_pad_multiple=64, block=True,
+              block_tm=64, block_eb=64, hub_dense=0)
+    g_full = build_graph(s, r, n_tall, **kw)
+    g_skip = build_graph(s, r, n_tall, block_max_dst=k, **kw)
+    used_tiles = -(-k // 64)
+    assert int(np.asarray(g_skip.blocking.tile_idx).max()) < used_tiles
+    assert g_skip.blocking.num_blocks < g_full.blocking.num_blocks
+
+    dispatch.set_backend("pallas", interpret=True)
+    try:
+        def loss(g, x):
+            return jnp.sum(spmm(g, x)[:k] ** 2)
+
+        want, gw = jax.value_and_grad(loss, argnums=1)(g_full, x)
+        got, gs = jax.value_and_grad(loss, argnums=1)(g_skip, x)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gw),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(spmm(g_skip, x))[:k], np.asarray(spmm(g_full, x))[:k],
+            rtol=1e-5, atol=1e-6)
+    finally:
+        dispatch.set_backend("auto", interpret=False)
