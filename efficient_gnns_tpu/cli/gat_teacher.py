@@ -45,6 +45,13 @@ def build_parser():
                         "trip per chunk; eval/best-val selection still runs "
                         "every epoch)")
     p.add_argument("--save-pred", action="store_true")
+    p.add_argument("--dump-labels", type=str, default="train",
+                   choices=["train", "self"],
+                   help="label-reuse channel for the artifact dump forward: "
+                        "'train' = reference semantics (true train labels "
+                        "fed; leaks planted label noise on synthetic tasks), "
+                        "'self' = zeroed channel + self-predicted label "
+                        "iterations (de-noised dumps)")
     p.add_argument("--expt-name", type=str, default="debug")
     p.add_argument("--out-dir", type=str, default=".")
     # synthetic sizing
@@ -151,22 +158,28 @@ def main(argv=None):
             epoch += k
         best_val_acc = float(best["val_acc"])
         final_test_acc = float(best["test_acc"])
-        final = (np.asarray(best["logits"]), np.asarray(best["feats"]))
         val_accs.append(best_val_acc)
         test_accs.append(final_test_acc)
 
-        if args.save_pred and final is not None:
-            logits_np, feats_np = final
+        if args.save_pred:
+            # re-dump with the best-val params under the requested label mode
+            # ('self' = de-noised: no ground-truth labels in the dump forward)
+            if args.dump_labels == "train":
+                logits_np = np.asarray(best["logits"])
+                feats_np = np.asarray(best["feats"])
+            else:
+                logits, feats = trainer.dump_outputs(best, args.dump_labels)
+                logits_np, feats_np = np.asarray(logits), np.asarray(feats)
             dump_dir = os.path.join(args.out_dir, "teacher_dumps", args.expt_name)
             softmax_out = np.asarray(jax.nn.softmax(jnp.asarray(logits_np), axis=-1))
             save_teacher_dump(dump_dir, seed, feats_np, logits_np, softmax_out)
             ckpt_dir = os.path.join(args.out_dir, "checkpoints", args.expt_name)
             save_pytree(
                 os.path.join(ckpt_dir, f"{seed}.msgpack"),
-                {"params": trainer.state.params,
-                 "batch_stats": trainer.state.batch_stats},
+                {"params": best["params"], "batch_stats": best["batch_stats"]},
             )
-            print(f"saved teacher dump + checkpoint for seed {seed}")
+            print(f"saved teacher dump ({args.dump_labels} labels) + "
+                  f"best-val checkpoint for seed {seed}")
 
     print(f"Average val accuracy: {np.mean(val_accs)} ± {np.std(val_accs)}")
     print(f"Average test accuracy: {np.mean(test_accs)} ± {np.std(test_accs)}")

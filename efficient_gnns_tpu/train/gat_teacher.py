@@ -130,6 +130,7 @@ class GATTeacherTrainer:
         self._train_step = jax.jit(self._make_train_step())
         self._eval_step = jax.jit(self._make_eval_step())
         self._epoch_chunk = jax.jit(self._make_epoch_chunk(), static_argnums=(4,))
+        self._dump_step = jax.jit(self._make_dump_step(), static_argnums=(4,))
 
     # ------------------------------------------------------------------
 
@@ -261,6 +262,57 @@ class GATTeacherTrainer:
 
         return step
 
+    def _make_dump_step(self):
+        """Teacher-artifact forward with a selectable label-reuse channel.
+
+        ``label_mode``:
+
+        * ``"train"`` — reference dump semantics (``arxiv_dgl/gat.py:243-258``
+          capture the ``evaluate()`` forward): true train labels fed as input
+          channels. On tasks with planted label noise this leaks the noisy
+          labels into the dumped logits, which KD then re-distills.
+        * ``"self"`` — the label channel starts zeroed and each label
+          iteration re-injects ``softmax(pred)`` at ALL nodes, so the dump is
+          the teacher's own prediction function with no ground-truth-label
+          input anywhere. This is the de-noised dump used for distillation on
+          the hardened synthetic tasks (see RESULTS.md).
+        """
+        cfg = self.cfg
+        onehot = jax.nn.one_hot(self.y, self.num_classes)
+
+        def step(params, batch_stats, graph, x, label_mode: str = "train"):
+            if cfg.use_labels:
+                if label_mode == "train":
+                    chan = jnp.where(self.train_mask[:, None], onehot, 0.0)
+                else:
+                    chan = jnp.zeros_like(onehot)
+                feat = self._with_labels(x, chan)
+            else:
+                feat = x
+            logits, feats, _ = self._forward(
+                params, batch_stats, graph, feat, False, None
+            )
+            if cfg.use_labels:
+                for _ in range(cfg.n_label_iters):
+                    soft = jax.nn.softmax(logits, axis=-1)
+                    if label_mode == "train":
+                        chan = jnp.where(self.train_mask[:, None], onehot, soft)
+                    else:
+                        chan = soft
+                    logits, feats, _ = self._forward(
+                        params, batch_stats, graph, self._with_labels(x, chan),
+                        False, None,
+                    )
+            return logits, feats
+
+        return step
+
+    def dump_outputs(self, best, label_mode: str = "train"):
+        """(logits, feats) of the best-validation params under ``label_mode``."""
+        return self._dump_step(
+            best["params"], best["batch_stats"], self.graph, self.x, label_mode
+        )
+
     def _make_epoch_chunk(self):
         """K epochs (train + full eval + best-val-LOSS tracking, reference
         ``arxiv_dgl/gat.py:224-229``) as ONE on-device ``lax.scan``.
@@ -294,6 +346,14 @@ class GATTeacherTrainer:
                     "test_acc": pick(accs[2], best["test_acc"]),
                     "logits": pick(logits, best["logits"]),
                     "feats": pick(feats, best["feats"]),
+                    # best-val params ride the carry (~6 MB) so artifacts can
+                    # be re-dumped post-hoc under any label_mode (dump_outputs)
+                    "params": jax.tree_util.tree_map(
+                        pick, state.params, best["params"]
+                    ),
+                    "batch_stats": jax.tree_util.tree_map(
+                        pick, state.batch_stats, best["batch_stats"]
+                    ),
                 }
                 hist = jnp.stack(
                     [m["loss"], m["train_acc"], accs[0], accs[1], accs[2],
@@ -319,6 +379,8 @@ class GATTeacherTrainer:
             "test_acc": jnp.zeros((), jnp.float32),
             "logits": jnp.zeros((n, self.num_classes), jnp.float32),
             "feats": jnp.zeros((n, feat_dim), jnp.float32),
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
         }
 
     def run_epochs(self, start_epoch: int, k: int, best=None):

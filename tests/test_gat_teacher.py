@@ -81,3 +81,28 @@ def test_teacher_param_count_matches_reference_config():
     cfg = TeacherConfig(use_labels=True, n_label_iters=0)
     tr = GATTeacherTrainer(cfg, ds.graph, ds.x, ds.y, ds.split_idx, 40)
     assert tr.num_params() == 1_441_580
+
+
+def test_dump_outputs_label_modes():
+    """Best-val params ride the epoch scan; dump_outputs('train') reproduces
+    the scan-captured best logits exactly, and 'self' mode (zeroed label
+    channel + self-predicted iterations) produces a genuinely different,
+    label-input-free dump — the round-5 de-noised artifact path."""
+    ds = _small_ds()
+    cfg = TeacherConfig(
+        n_hidden=8, n_layers=2, n_heads=2, dropout=0.2, input_drop=0.0,
+        edge_drop=0.0, use_labels=True, n_label_iters=1, use_norm=True,
+        no_attn_dst=True, lr=0.01,
+    )
+    tr = GATTeacherTrainer(cfg, ds.graph, ds.x, ds.y, ds.split_idx, ds.num_classes)
+    best, _ = tr.run_epochs(1, 8)
+    lt, ft = tr.dump_outputs(best, "train")
+    np.testing.assert_allclose(
+        np.asarray(lt), np.asarray(best["logits"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ft), np.asarray(best["feats"]), atol=1e-4
+    )
+    ls, fs = tr.dump_outputs(best, "self")
+    assert ls.shape == lt.shape and fs.shape == ft.shape
+    assert float(np.abs(np.asarray(ls) - np.asarray(lt)).max()) > 1e-5
