@@ -78,6 +78,7 @@ def main(argv=None):
         proj_dim=args.proj_dim, nce_T=args.nce_T,
     )
     logger = Logger(args.runs)
+    epoch_seconds = {}  # per-run epoch timings (+ device_step_ms records)
     for run in range(args.runs):
         seed = args.seed + run
         teacher_params = None
@@ -116,6 +117,9 @@ def main(argv=None):
             import jax as _jax
             import jax.numpy as _jnp
 
+            # stop the prefetch thread first: sampler RNG/buffers are not
+            # thread-safe and the next sample() runs on the main thread
+            tr.close()
             sub = tr.sampler.sample()
             sub = sub._replace(
                 graph=_jax.device_put(sub.graph),
@@ -138,6 +142,7 @@ def main(argv=None):
             print(f"device-only train step: {dt * 1e3:.1f} ms "
                   f"(typed_square={not args.no_typed_square})", flush=True)
             epoch_secs.append({"device_step_ms": dt * 1e3})
+        epoch_seconds[f"run{run}"] = epoch_secs
         tr.close()
     logger.print_statistics()
 
@@ -146,7 +151,7 @@ def main(argv=None):
         args.out_dir, f"mag-{args.expt_name}-{args.training}.json"
     ), "w") as f:
         json.dump({"args": vars(args), "statistics": logger.statistics(),
-                   "epoch_seconds": epoch_secs}, f)
+                   "epoch_seconds": epoch_seconds}, f)
 
 
 if __name__ == "__main__":

@@ -164,6 +164,11 @@ def load_ppi(data_root: str) -> PPIDataset:
         links = np.array(
             [[l["source"], l["target"]] for l in gjson["links"]], np.int64
         )
+        if links.size:
+            # drop raw self-loops: torch_geometric.datasets.PPI applies
+            # remove_self_loops, and build_graph(self_loops=True) re-adds
+            # exactly one per node — keeping them here would triple them
+            links = links[links[:, 0] != links[:, 1]]
         parsed[split] = (feats, labels, gid, links)
         for g in np.unique(gid):
             sel = np.nonzero(gid == g)[0]

@@ -300,6 +300,15 @@ def spmm(
     if transpose:
         graph = graph.transpose()
 
+    if graph.node_scale is not None and edge_weight is not None:
+        # runtime weights on a factored-norm graph: S·A_w·S is NOT the GCN
+        # normalization of the weighted adjacency — silently skipping the
+        # scales (old behavior) is wrong either way, so refuse loudly
+        raise ValueError(
+            "spmm: runtime edge_weight on a gcn_norm='factored' graph is "
+            "undefined — build the graph with gcn_norm=False (or 'fused') "
+            "when per-call edge weights are used"
+        )
     if graph.node_scale is not None and edge_weight is None:
         # factored symmetric normalization: out = S @ (A @ (S @ x)) with the
         # unweighted structures (build_graph(gcn_norm="factored")) — the
@@ -591,6 +600,13 @@ def spmm_mean(
 ) -> jnp.ndarray:
     """Mean-aggregated SpMM (torch-sparse ``matmul(..., reduce='mean')``,
     reference ``mag_pyg/gnn.py:149-163``; SAGE neighbor mean)."""
+    if graph.node_scale is not None:
+        # S·A·S·x / deg is neither a neighbor mean nor the GCN norm
+        raise ValueError(
+            "spmm_mean on a gcn_norm='factored' graph is undefined — build "
+            "mean-aggregating graphs (SAGE, hop precompute) with "
+            "gcn_norm=False"
+        )
     total = spmm(graph, x, edge_weight)
     deg = graph.in_degrees().astype(total.dtype)
     return total / jnp.maximum(deg, 1.0)[:, None]

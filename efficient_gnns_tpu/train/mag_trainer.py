@@ -71,30 +71,53 @@ class _SamplePrefetcher:
         self._sampler = sampler
         self._q = _queue.Queue(maxsize=depth)
         self._stop = _threading.Event()
+        self._exc: Optional[BaseException] = None
         self._thread = _threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
     def _work(self):
-        while not self._stop.is_set():
-            sub = self._sampler.sample()
-            sub = sub._replace(
-                graph=jax.device_put(sub.graph),
-                typed_graph=None if sub.typed_graph is None
-                else jax.device_put(sub.typed_graph),
-                node_ids=jax.device_put(jnp.asarray(sub.node_ids)),
-            )
+        try:
             while not self._stop.is_set():
-                try:
-                    self._q.put(sub, timeout=0.5)
-                    break
-                except _queue.Full:
-                    continue
+                sub = self._sampler.sample()
+                sub = sub._replace(
+                    graph=jax.device_put(sub.graph),
+                    typed_graph=None if sub.typed_graph is None
+                    else jax.device_put(sub.typed_graph),
+                    node_ids=jax.device_put(jnp.asarray(sub.node_ids)),
+                )
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(sub, timeout=0.5)
+                        break
+                    except _queue.Full:
+                        continue
+        except BaseException as exc:  # surfaced from get(); thread would
+            self._exc = exc          # otherwise die silently and get() hang
+            self._stop.set()
 
     def get(self):
-        return self._q.get()
+        while True:
+            try:
+                item = self._q.get(timeout=0.5)
+                return item
+            except _queue.Empty:
+                if self._exc is not None:
+                    raise RuntimeError(
+                        "prefetch sampler thread failed"
+                    ) from self._exc
 
     def close(self):
+        """Stop the thread and wait for it to exit — after close() returns
+        the sampler's RNG/buffers are safe to use from the calling thread
+        (the cli.mag --time_steps path samples on the main thread)."""
         self._stop.set()
+        # unblock a producer waiting on a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except _queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
 
 
 class MagTrainer:

@@ -290,3 +290,22 @@ def test_factored_gcn_norm_matches_weighted(rng):
                                    rtol=1e-3, atol=1e-4)
     finally:
         dispatch.set_backend("auto", interpret=False)
+
+
+def test_factored_norm_refuses_undefined_combinations(rng):
+    """ADVICE r4: spmm_mean and runtime-edge_weight spmm on a factored-norm
+    graph silently computed neither a mean nor the GCN norm — both now
+    raise instead of returning a wrong result."""
+    from efficient_gnns_tpu.graphs import build_graph
+
+    n, e = 20, 60
+    s = rng.integers(0, n, size=e)
+    r = rng.integers(0, n, size=e)
+    g_f = build_graph(s, r, n, gcn_norm="factored", bidirected=True,
+                      self_loops=True, edge_pad_multiple=64)
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    w = jnp.ones((int(g_f.n_edge),), jnp.float32)
+    with pytest.raises(ValueError, match="factored"):
+        ops.spmm_mean(g_f, x)
+    with pytest.raises(ValueError, match="factored"):
+        ops.spmm(g_f, x, edge_weight=w)
