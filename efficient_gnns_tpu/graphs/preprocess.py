@@ -11,9 +11,11 @@ All functions here run once per dataset on the host; nothing is traced.
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from efficient_gnns_tpu.graphs.container import Graph
@@ -121,6 +123,40 @@ def build_graph(
         ``block=True``. Build graphs that need *runtime* edge weights
         (GAT attention) with ``hub_dense=0``.
     """
+    # The entire build is host-side: array constants, the hub-slice scatter
+    # fill, and the cross-perm gather all land on the host CPU backend, then
+    # ONE device_put ships the finished container. Without this, the interior
+    # jit calls compile and execute on the default device — behind a remote
+    # TPU tunnel that is minutes of remote compiles + piecemeal uploads for
+    # an arxiv-scale graph (BENCH_r04: 216 s vs ~7 s host build).
+    try:
+        _cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        _cpu = None
+    with jax.default_device(_cpu) if _cpu is not None else _nullcontext():
+        g = _build_graph_host(
+            senders, receivers, num_nodes,
+            edge_weight=edge_weight, edge_type=edge_type,
+            num_edge_types=num_edge_types, bidirected=bidirected,
+            self_loops=self_loops, pad_nodes_to=pad_nodes_to,
+            pad_edges_to=pad_edges_to, edge_pad_multiple=edge_pad_multiple,
+            n_node_valid=n_node_valid, block=block, block_tm=block_tm,
+            block_eb=block_eb, block_pad_to=block_pad_to,
+            block_max_dst=block_max_dst, t_block_pad_to=t_block_pad_to,
+            hub_dense=hub_dense, gcn_norm=gcn_norm,
+        )
+    default = jax.devices()[0]
+    if _cpu is not None and default != _cpu:
+        g = jax.device_put(g, default)  # one batched (lazily queued) upload
+    return g
+
+
+def _build_graph_host(
+    senders, receivers, num_nodes, *, edge_weight, edge_type, num_edge_types,
+    bidirected, self_loops, pad_nodes_to, pad_edges_to, edge_pad_multiple,
+    n_node_valid, block, block_tm, block_eb, block_pad_to, block_max_dst,
+    t_block_pad_to, hub_dense, gcn_norm,
+) -> Graph:
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     if bidirected:
