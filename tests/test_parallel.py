@@ -208,3 +208,39 @@ def test_partition_folds_factored_node_scale(rng):
     with mesh:
         got = np.asarray(jax.jit(lambda x: spmm_sharded(mesh, part, x))(x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_two_level_mesh_invariance(rng):
+    """DCN x ICI decomposition (spmm_halo_2level): all_to_all within the
+    chip axis + ppermute ring across the host axis on a (2, 4) (host, chip)
+    mesh == the single-device SpMM, forward and gradient (VERDICT r4 item 9;
+    closest testable approximation of the multi-host pod topology)."""
+    from efficient_gnns_tpu.parallel.partition import (
+        partition_graph_halo,
+        spmm_halo_2level,
+    )
+
+    n = 256
+    g, (s, r, w) = _graph(rng, n=n)
+    mesh = make_mesh(8, axes=("host", "chip"), shape=(2, 4))
+    part = partition_graph_halo(g, 8)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+
+    got = np.asarray(spmm_halo_2level(mesh, part, jnp.asarray(x)))
+    ref = np.asarray(ops.spmm(g, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def loss_2lvl(x_):
+        return jnp.sum(jnp.sin(spmm_halo_2level(mesh, part, x_)))
+
+    def loss_single(x_):
+        return jnp.sum(jnp.sin(ops.spmm(g, x_)))
+
+    g2 = np.asarray(jax.grad(loss_2lvl)(jnp.asarray(x)))
+    g1 = np.asarray(jax.grad(loss_single)(jnp.asarray(x)))
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-4)
+
+    # also on a 4x2 factorization (host-majority flipped)
+    mesh42 = make_mesh(8, axes=("host", "chip"), shape=(4, 2))
+    got42 = np.asarray(spmm_halo_2level(mesh42, part, jnp.asarray(x)))
+    np.testing.assert_allclose(got42, ref, rtol=1e-4, atol=1e-4)
