@@ -42,8 +42,15 @@ def build_parser():
                    help="disable the typed-square single-pass R-GCN SpMM "
                         "(falls back to R relation-masked passes; for "
                         "step-time comparisons)")
-    # synthetic sizing
+    p.add_argument("--save_ckpt", type=str, default=None,
+                   help="directory to save per-seed model checkpoints "
+                        "(seed<k>.msgpack) — a teacher run saved here is "
+                        "loadable via --teacher_path")
+    # synthetic sizing / difficulty (data/mag.py knobs)
     p.add_argument("--n_paper", type=int, default=4000)
+    p.add_argument("--signal", type=float, default=0.8)
+    p.add_argument("--label_noise", type=float, default=0.0)
+    p.add_argument("--homophily", type=float, default=0.5)
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu|tpu); see cli.apply_platform")
     return p
@@ -64,7 +71,10 @@ def main(argv=None):
     if args.dataset == "synthetic":
         from efficient_gnns_tpu.data.mag import synthetic_mag_dataset
 
-        ds = synthetic_mag_dataset(n_paper=args.n_paper, seed=42)
+        ds = synthetic_mag_dataset(
+            n_paper=args.n_paper, seed=42, signal=args.signal,
+            label_noise=args.label_noise, homophily=args.homophily,
+        )
     else:
         from efficient_gnns_tpu.data.mag import load_ogbn_mag
 
@@ -143,6 +153,14 @@ def main(argv=None):
                   f"(typed_square={not args.no_typed_square})", flush=True)
             epoch_secs.append({"device_step_ms": dt * 1e3})
         epoch_seconds[f"run{run}"] = epoch_secs
+        if args.save_ckpt:
+            from efficient_gnns_tpu.train.checkpoint import save_pytree
+
+            save_pytree(
+                os.path.join(args.save_ckpt, f"seed{seed}.msgpack"),
+                {"params": tr.state.params["model"]},
+            )
+            print(f"saved checkpoint seed{seed}.msgpack -> {args.save_ckpt}")
         tr.close()
     logger.print_statistics()
 

@@ -39,6 +39,11 @@ def build_parser():
     p.add_argument("--teacher_path", type=str, default=None)
     p.add_argument("--out_dir", type=str, default="logs")
     p.add_argument("--n_train", type=int, default=400)
+    p.add_argument("--n_valid", type=int, default=250,
+                   help="synthetic valid-split molecules (r4 verdict: "
+                        "50-mol splits made single-seed AUC noise swamp "
+                        "the distillation deltas)")
+    p.add_argument("--n_test", type=int, default=250)
     p.add_argument("--data_root", type=str, default="dataset",
                    help="pre-mounted OGB cache root for --dataset "
                         "ogbg-molhiv (contains ogbg_molhiv/raw + "
@@ -64,7 +69,10 @@ def main(argv=None):
     if args.dataset == "synthetic":
         from efficient_gnns_tpu.data.molhiv import synthetic_molhiv_dataset
 
-        ds = synthetic_molhiv_dataset(n_train=args.n_train, seed=42)
+        ds = synthetic_molhiv_dataset(
+            n_train=args.n_train, n_valid=args.n_valid, n_test=args.n_test,
+            seed=42,
+        )
     else:
         # real data from a pre-mounted OGB cache; load_molhiv raises a
         # clear FileNotFoundError when the cache is absent (no egress here)
