@@ -341,3 +341,30 @@ def test_normalize_vjp_bounded_at_tiny_denominators(rng):
     want_dnum = 2.0 * np.asarray(num) / np.asarray(den)[:, :, None] ** 2
     np.testing.assert_allclose(
         np.asarray(dnum)[safe], want_dnum[safe], rtol=1e-4)
+
+
+def test_hub_attention_exact_lane_multiple_dim(rng):
+    """d an exact 128-multiple leaves no padding slack, so z cannot fold
+    into the feature blocks and takes its own trailing 128-block — both
+    layouts (z_fold r5 lever vs separate z block) must match the dense
+    reference, forward and gradient."""
+    graph = _hub_graph(rng)
+    n, h, d = graph.num_nodes, 2, 128
+    feat = jnp.asarray(rng.normal(size=(n, h, d)).astype(np.float32))
+    el = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+
+    out = np.asarray(hub_gat_attention(graph, feat, el, negative_slope=0.2))
+    s, r = _edges_of(graph)
+    want = _ref_attention(s, r, n, np.asarray(feat), np.asarray(el), 0.2)
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-4)
+
+    def loss(f, e):
+        return jnp.sum(hub_gat_attention(graph, f, e) ** 2)
+
+    gf, ge = jax.grad(loss, argnums=(0, 1))(feat, el)
+    assert np.isfinite(np.asarray(gf)).all() and np.isfinite(np.asarray(ge)).all()
+    # finite-difference probe on one logit entry
+    eps = 1e-3
+    el2 = el.at[3, 1].add(eps)
+    fd = (float(loss(feat, el2)) - float(loss(feat, el))) / eps
+    np.testing.assert_allclose(fd, float(ge[3, 1]), rtol=5e-2, atol=5e-3)
