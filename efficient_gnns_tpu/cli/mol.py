@@ -137,8 +137,13 @@ def main(argv=None):
     logger.print_statistics()
 
     os.makedirs(args.out_dir, exist_ok=True)
+    tag = f"{args.gnn}-{args.training}"
+    if cfg.needs_teacher() or args.training != "supervised":
+        tag += f"-from-{args.teacher_gnn}"  # two teachers share student modes
+    if args.kd_and_aux:
+        tag = tag.replace(f"-{args.training}-", f"-kd+{args.training}-")
     with open(os.path.join(
-        args.out_dir, f"mol-{args.expt_name}-{args.gnn}-{args.training}.json"
+        args.out_dir, f"mol-{args.expt_name}-{tag}.json"
     ), "w") as f:
         json.dump({"args": vars(args), "statistics": logger.statistics()}, f)
 
