@@ -94,9 +94,13 @@ def bench_gat():
 
     H, D = 3, 250
     t0 = time.time()
+    # BENCH_HUB overrides the hub width (default auto=256) — the residual
+    # gather is the binding resource, and widening the hub trades MXU work
+    # for fewer gathered rows (see RESULTS.md ceiling analysis)
+    hub = int(os.environ.get("BENCH_HUB", "0")) or "auto"
     ds = synthetic_node_dataset(
         num_nodes=NUM_NODES, num_edges=NUM_EDGES, feat_dim=FEAT_DIM, seed=0,
-        label_smoothing_hops=0, hub_dense="auto", gcn_norm=False,
+        label_smoothing_hops=0, hub_dense=hub, gcn_norm=False,
     )
     graph = jax.device_put(ds.graph)
     assert supports_hub_attention(graph)
