@@ -285,3 +285,18 @@ def test_layerwise_matches_full_forward_at_teacher_width():
     np.testing.assert_allclose(np.asarray(feat_chunk),
                                np.asarray(feat_full), rtol=2e-4, atol=2e-4)
     tr.close()
+
+
+def test_prefetcher_surfaces_worker_exceptions():
+    """ADVICE r4: a sampler failure inside the prefetch thread must surface
+    from get() (previously the daemon died silently and get() hung)."""
+    from efficient_gnns_tpu.train.mag_trainer import _SamplePrefetcher
+
+    class BoomSampler:
+        def sample(self):
+            raise RuntimeError("boom")
+
+    pf = _SamplePrefetcher(BoomSampler(), depth=1)
+    with pytest.raises(RuntimeError, match="prefetch sampler thread failed"):
+        pf.get()
+    pf.close()
