@@ -80,7 +80,7 @@ class EdgeBlocking:
 
 def choose_eb(
     receivers: np.ndarray, num_nodes: int, tm: int = 256,
-    candidates=(512, 1024, 2048),
+    candidates=(512, 1024, 2048, 4096),
 ) -> int:
     """Pick the edge-block size minimizing estimated scatter time.
 
