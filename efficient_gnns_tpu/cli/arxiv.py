@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--signal", type=float, default=0.8,
                    help="synthetic class-signal strength (lower = harder)")
     p.add_argument("--label_noise", type=float, default=0.0)
+    p.add_argument("--feat_sparse", type=float, default=0.0,
+                   help="fraction of nodes with no prototype feature signal "
+                        "(class recoverable only via the graph — creates "
+                        "distillation headroom, see data/synthetic.py)")
+    p.add_argument("--train_frac", type=float, default=0.54,
+                   help="train-split fraction (0.54 = arxiv protocol; the "
+                        "label-scarce hard-kd variant lowers it so soft "
+                        "teacher targets carry information hard labels "
+                        "don't)")
     p.add_argument("--epoch_chunk", type=int, default=50,
                    help="epochs per on-device scan chunk (one host round "
                         "trip per chunk)")
@@ -92,6 +101,7 @@ def load_dataset(args):
         return synthetic_node_dataset(
             num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42,
             signal=args.signal, label_noise=args.label_noise,
+            feat_sparse=args.feat_sparse, train_frac=args.train_frac,
         )
     from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
 

@@ -60,6 +60,11 @@ def build_parser():
     p.add_argument("--signal", type=float, default=0.8,
                    help="synthetic class-signal strength (lower = harder)")
     p.add_argument("--label-noise", type=float, default=0.0)
+    p.add_argument("--feat-sparse", type=float, default=0.0,
+                   help="fraction of nodes with no prototype feature signal "
+                        "(see data/synthetic.py)")
+    p.add_argument("--train-frac", type=float, default=0.54,
+                   help="train-split fraction (see data/synthetic.py)")
     p.add_argument("--data-root", type=str, default="dataset",
                    help="ogb cache root for --dataset ogbn-arxiv (works "
                         "without the ogb package: raw csv.gz reader)")
@@ -93,6 +98,7 @@ def main(argv=None):
             num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42,
             hub_dense="auto", gcn_norm=False,
             signal=args.signal, label_noise=args.label_noise,
+            feat_sparse=args.feat_sparse, train_frac=args.train_frac,
         )
     else:
         from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv

@@ -53,6 +53,7 @@ def synthetic_node_dataset(
     label_smoothing_hops: int = 2,
     signal: float = 0.8,
     label_noise: float = 0.0,
+    feat_sparse: float = 0.0,
     pad_nodes_to: Optional[int] = None,
     block: bool = True,
     hub_dense="auto",
@@ -84,6 +85,15 @@ def synthetic_node_dataset(
         y_new[r] = y[s]  # receiver adopts a random in-neighbor's class
         y = y_new
     x = protos[y] * signal + rng.normal(size=(num_nodes, feat_dim)).astype(np.float32)
+    if feat_sparse > 0:
+        # feature-ambiguous nodes: no prototype component, pure noise — their
+        # class is recoverable only through the graph, which is where a
+        # higher-capacity teacher's knowledge becomes transferable (real-data
+        # analog: papers whose abstract embedding is uninformative)
+        blank = rng.random(num_nodes) < feat_sparse
+        x = np.where(blank[:, None],
+                     rng.normal(size=(num_nodes, feat_dim)).astype(np.float32),
+                     x)
     if label_noise > 0:
         flip = rng.random(num_nodes) < label_noise
         y = np.where(flip, rng.integers(0, num_classes, size=num_nodes), y)
