@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     # KD (reference :407-414)
     p.add_argument("--alpha", type=float, default=0.9)
     p.add_argument("--kd_T", type=float, default=4.0)
+    p.add_argument("--kd_reduction", type=str, default="numel",
+                   choices=["numel", "batchmean"],
+                   help="'numel' = reference F.kl_div('mean') parity "
+                        "(KL/(N*C) — KD nearly inert at small T); "
+                        "'batchmean' = standard Hinton scaling")
     p.add_argument("--beta", type=float, default=1000.0)
     p.add_argument("--kernel", type=str, default="cosine",
                    choices=["cosine", "poly", "l2", "rbf"])
@@ -74,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction of nodes with no prototype feature signal "
                         "(class recoverable only via the graph — creates "
                         "distillation headroom, see data/synthetic.py)")
+    p.add_argument("--n_super", type=int, default=0,
+                   help="arrange classes hierarchically into this many "
+                        "superclasses (0 = flat iid prototypes); sibling "
+                        "label noise + confusable subclasses give teacher "
+                        "soft targets real dark knowledge")
+    p.add_argument("--sub_scale", type=float, default=0.4)
     p.add_argument("--train_frac", type=float, default=0.54,
                    help="train-split fraction (0.54 = arxiv protocol; the "
                         "label-scarce hard-kd variant lowers it so soft "
@@ -102,6 +113,7 @@ def load_dataset(args):
             num_nodes=args.num_nodes, num_edges=args.num_edges, seed=42,
             signal=args.signal, label_noise=args.label_noise,
             feat_sparse=args.feat_sparse, train_frac=args.train_frac,
+            n_super=args.n_super, sub_scale=args.sub_scale,
         )
     from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
 
@@ -140,6 +152,7 @@ def main(argv=None):
         lr=args.lr,
         alpha=args.alpha,
         kd_T=args.kd_T,
+        kd_reduction=args.kd_reduction,
         beta=args.beta,
         kernel=args.kernel,
         max_samples=args.max_samples,

@@ -54,6 +54,8 @@ def synthetic_node_dataset(
     signal: float = 0.8,
     label_noise: float = 0.0,
     feat_sparse: float = 0.0,
+    n_super: int = 0,
+    sub_scale: float = 0.4,
     pad_nodes_to: Optional[int] = None,
     block: bool = True,
     hub_dense="auto",
@@ -76,8 +78,23 @@ def synthetic_node_dataset(
     rng = np.random.default_rng(seed)
     s, r = _powerlaw_edges(rng, num_nodes, num_edges)
 
-    # learnable structure: class prototypes + neighborhood label smoothing
-    protos = rng.normal(size=(num_classes, feat_dim)).astype(np.float32)
+    # learnable structure: class prototypes + neighborhood label smoothing.
+    # ``n_super > 0`` arranges the classes HIERARCHICALLY (n_super
+    # superclasses x num_classes/n_super subclasses; prototype = superproto
+    # + sub_scale * subproto): classes inside a superclass are confusable,
+    # like arxiv's overlapping subject areas — which is what gives teacher
+    # soft targets their dark knowledge (inter-class similarity). With the
+    # default flat iid prototypes every pair of classes is equidistant and
+    # soft targets carry nothing beyond the hard label (measured: no KD
+    # headroom, see RESULTS.md round-5 findings).
+    if n_super > 0:
+        assert num_classes % n_super == 0, (num_classes, n_super)
+        n_sub = num_classes // n_super
+        supers = rng.normal(size=(n_super, feat_dim)).astype(np.float32)
+        subs = rng.normal(size=(num_classes, feat_dim)).astype(np.float32)
+        protos = supers.repeat(n_sub, axis=0) + sub_scale * subs
+    else:
+        protos = rng.normal(size=(num_classes, feat_dim)).astype(np.float32)
     y = rng.integers(0, num_classes, size=num_nodes).astype(np.int64)
     # propagate labels along edges (majority-ish smoothing via mode of a hop)
     for _ in range(label_smoothing_hops):
@@ -96,7 +113,17 @@ def synthetic_node_dataset(
                      x)
     if label_noise > 0:
         flip = rng.random(num_nodes) < label_noise
-        y = np.where(flip, rng.integers(0, num_classes, size=num_nodes), y)
+        if n_super > 0:
+            # annotation-style confusion: flip to a SIBLING subclass (same
+            # superclass) — the noise CE must absorb is exactly the
+            # within-superclass ambiguity the teacher's soft targets resolve
+            n_sub = num_classes // n_super
+            wrong = (y // n_sub) * n_sub + rng.integers(
+                0, n_sub, size=num_nodes
+            )
+        else:
+            wrong = rng.integers(0, num_classes, size=num_nodes)
+        y = np.where(flip, wrong, y)
 
     perm = rng.permutation(num_nodes)
     n_tr = int(train_frac * num_nodes)

@@ -98,9 +98,25 @@ def kd_term(logits, teacher_logits, T: float = 4.0, mask=None):
     return _masked_mean(elt, mask)
 
 
-def kd_criterion(logits, labels, teacher_logits, alpha=0.9, T=4.0, mask=None):
+def kd_criterion(logits, labels, teacher_logits, alpha=0.9, T=4.0, mask=None,
+                 reduction: str = "numel"):
+    """``alpha * T^2 * KL + (1 - alpha) * CE``.
+
+    ``reduction="numel"`` (default) reproduces the reference exactly:
+    ``F.kl_div(..., reduction='mean')`` divides the KL by N*C
+    (``arxiv_pyg/criterion.py:14-18``) — with C=40 classes the KD term is
+    40x smaller than its CE-comparable scale, so the KD gradient is nearly
+    inert at small T (torch's own docs flag 'mean' as not matching the KL
+    math). ``reduction="batchmean"`` sums over classes and means over
+    nodes — the mathematically-standard Hinton formulation; use it when
+    the KD signal, not reference-bug parity, is the point.
+    """
     loss_cls = cls_ce(logits, labels, mask)
     loss_kd = kd_term(logits, teacher_logits, T, mask)
+    if reduction == "batchmean":
+        loss_kd = loss_kd * logits.shape[-1]
+    elif reduction != "numel":
+        raise ValueError(f"unknown kd reduction {reduction!r}")
     return loss_kd * (alpha * T * T) + loss_cls * (1 - alpha), loss_cls, loss_kd
 
 

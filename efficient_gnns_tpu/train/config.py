@@ -45,6 +45,9 @@ class DistillConfig:
     # logit KD (arxiv_pyg defaults; PPI uses alpha=0.5, T=1)
     alpha: float = 0.9
     kd_T: float = 4.0
+    # "numel" = reference parity (F.kl_div 'mean', KL / (N*C));
+    # "batchmean" = standard Hinton scaling (see distill/criteria.py)
+    kd_reduction: str = "numel"
 
     # representation distillation
     beta: float = 1000.0

@@ -198,7 +198,8 @@ class NodeDistillTrainer:
                 loss_cls, loss_aux = loss, loss * 0
             elif mode == "kd":
                 loss, loss_cls, loss_aux = criteria.kd_criterion(
-                    out, labels, t_logits[tr], cfg.alpha, cfg.kd_T
+                    out, labels, t_logits[tr], cfg.alpha, cfg.kd_T,
+                    reduction=cfg.kd_reduction,
                 )
             else:
                 # representation-distillation modes
@@ -242,7 +243,8 @@ class NodeDistillTrainer:
                 if cfg.kd_and_aux:
                     # loss = KD total + beta * aux (gnn_kd_and_aux.py:118-181)
                     kd_loss, loss_cls, _ = criteria.kd_criterion(
-                        out, labels, t_logits[tr], cfg.alpha, cfg.kd_T
+                        out, labels, t_logits[tr], cfg.alpha, cfg.kd_T,
+                        reduction=cfg.kd_reduction,
                     )
                     loss = kd_loss + cfg.beta * loss_aux
                 else:

@@ -232,3 +232,22 @@ def test_nce_structured_diag_only_matches_nce(rng):
     a = distill.nce_term(jnp.asarray(f), jnp.asarray(t), 0.075)
     b = distill.nce_term_structured(jnp.asarray(f), jnp.asarray(t), 0.075)
     np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_kd_reduction_batchmean_scales_by_classes(rng):
+    """batchmean = standard Hinton scaling: the KD term (and only it) is
+    exactly C x the reference numel-mean term (F.kl_div 'mean' parity)."""
+    from efficient_gnns_tpu.distill import criteria
+
+    C = 7
+    logits = jnp.asarray(rng.normal(size=(12, C)).astype(np.float32))
+    tlogits = jnp.asarray(rng.normal(size=(12, C)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, C, size=12).astype(np.int32))
+    l_n, cls_n, kd_n = criteria.kd_criterion(logits, labels, tlogits, 0.9, 2.0)
+    l_b, cls_b, kd_b = criteria.kd_criterion(
+        logits, labels, tlogits, 0.9, 2.0, reduction="batchmean"
+    )
+    np.testing.assert_allclose(float(cls_b), float(cls_n), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(l_b), float(kd_n) * C * 0.9 * 4.0 + float(cls_n) * 0.1, rtol=1e-5
+    )
