@@ -65,6 +65,10 @@ def build_parser():
                         "(see data/synthetic.py)")
     p.add_argument("--train-frac", type=float, default=0.54,
                    help="train-split fraction (see data/synthetic.py)")
+    p.add_argument("--n-super", type=int, default=0,
+                   help="hierarchical classes: superclass count (see "
+                        "data/synthetic.py)")
+    p.add_argument("--sub-scale", type=float, default=0.4)
     p.add_argument("--data-root", type=str, default="dataset",
                    help="ogb cache root for --dataset ogbn-arxiv (works "
                         "without the ogb package: raw csv.gz reader)")
@@ -99,6 +103,7 @@ def main(argv=None):
             hub_dense="auto", gcn_norm=False,
             signal=args.signal, label_noise=args.label_noise,
             feat_sparse=args.feat_sparse, train_frac=args.train_frac,
+            n_super=args.n_super, sub_scale=args.sub_scale,
         )
     else:
         from efficient_gnns_tpu.data.ogb import load_ogbn_arxiv
