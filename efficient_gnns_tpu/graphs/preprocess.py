@@ -232,7 +232,21 @@ def _build_graph_host(
         )
 
         ew_host = None if ew is None else np.asarray(ew)
-        h = auto_hub_size(n_pad, e) if hub_dense == "auto" else int(hub_dense)
+        # unit-valued (no static weights) hub slices are stored bf16 —
+        # half the budget accounting of f32 weighted slices. Attention-style
+        # graphs (no weights, no factored scales) carry WIDE per-head
+        # message pipelines where the residual gather dominates, so they
+        # take the widest hub (512 at arxiv scale: 33.8 vs 37.1 ms on the
+        # 1-layer GAT fwd+bwd); weighted/factored GCN graphs stream narrow
+        # 128-lane features where doubling the hub matmuls costs more than
+        # the saved gather rows (0.751 vs 0.766 SoL measured), so they cap
+        # at 256.
+        wide_messages = ew is None and node_scale is None
+        h = (auto_hub_size(
+                n_pad, e,
+                itemsize=2 if ew is None else 4,
+                widths=(512, 256) if wide_messages else (256,))
+             if hub_dense == "auto" else int(hub_dense))
         if h > 0:
             # Hub edges become dense MXU slices; only the residual edge set
             # gets blocked for the gather + one-hot-scatter path.
